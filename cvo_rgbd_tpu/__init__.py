@@ -1,0 +1,42 @@
+"""cvo_rgbd_tpu — TPU-native Continuous Visual Odometry for RGB-D.
+
+A from-scratch JAX/XLA/Pallas re-design of MaaniGhaffari/cvo-rgbd:
+correspondence-free RGB-D registration by maximizing an RKHS inner
+product via gradient flow on SE(3).  See SURVEY.md at the repo root
+for the reference layer map this framework mirrors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from cvo_rgbd_tpu.core import AlignResult, PointCloud, align, pad_cloud
+from cvo_rgbd_tpu.params import MATLAB_PARAMS, AcvoParams, CvoParams
+
+__all__ = [
+    "AlignResult",
+    "PointCloud",
+    "align",
+    "align_jit",
+    "pad_cloud",
+    "CvoParams",
+    "AcvoParams",
+    "MATLAB_PARAMS",
+]
+
+__version__ = "0.1.0"
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_align(params):
+    return jax.jit(functools.partial(align, params))
+
+
+def align_jit(params, fixed, moving, R0=None, T0=None) -> AlignResult:
+    """jitted `align`; compiled once per (params, cloud capacity)."""
+    fn = _compiled_align(params)
+    if R0 is None and T0 is None:
+        return fn(fixed, moving)
+    return fn(fixed, moving, R0, T0)

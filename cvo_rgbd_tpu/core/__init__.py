@@ -1,0 +1,4 @@
+from cvo_rgbd_tpu.core.cloud import PointCloud, pad_cloud
+from cvo_rgbd_tpu.core.registration import AlignResult, align, make_align_step
+
+__all__ = ["PointCloud", "pad_cloud", "AlignResult", "align", "make_align_step"]

@@ -1,0 +1,79 @@
+"""PointCloud pytree: static-shape, mask-padded colored point clouds.
+
+TPU-native replacement of the reference's `point_cloud` struct
+(include/data_type.h:59-71).  The reference stores exactly
+`num_points` rows; XLA wants static shapes, so clouds are padded to a
+lane-aligned capacity with an explicit validity mask.  Every kernel in
+the framework treats `mask == 0` rows as nonexistent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+NUM_FEATURES = 5  # [c0, c1, c2, dx, dy] (data_type.h:26, pcd_generator.cpp:336-381)
+LANE = 128        # TPU lane width; pad capacities to a multiple of this
+
+
+class PointCloud(NamedTuple):
+    """positions [N,3] f32, features [N,F] f32, mask [N] f32 (1=valid)."""
+
+    positions: jnp.ndarray
+    features: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.positions.shape[-2]
+
+    def num_valid(self):
+        return jnp.sum(self.mask, axis=-1)
+
+
+def round_up(n: int, m: int = LANE) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pad_cloud(
+    positions,
+    features=None,
+    capacity: int | None = None,
+    dtype=np.float32,
+) -> PointCloud:
+    """Build a mask-padded PointCloud from ragged host arrays."""
+    positions = np.asarray(positions, dtype=dtype)
+    n = positions.shape[0]
+    if features is None:
+        features = np.zeros((n, NUM_FEATURES), dtype=dtype)
+    features = np.asarray(features, dtype=dtype)
+    cap = capacity if capacity is not None else round_up(max(n, 1))
+    if n > cap:
+        raise ValueError(f"cloud with {n} points exceeds capacity {cap}")
+    pos = np.zeros((cap, 3), dtype=dtype)
+    feat = np.zeros((cap, features.shape[1]), dtype=dtype)
+    mask = np.zeros((cap,), dtype=dtype)
+    pos[:n] = positions
+    feat[:n] = features
+    mask[:n] = 1.0
+    return PointCloud(jnp.asarray(pos), jnp.asarray(feat), jnp.asarray(mask))
+
+
+def transform_cloud(R, t, positions):
+    """Apply SE(3) to positions [N,3] (cvo.cpp:310-315).
+
+    Full-fp32 precision: the TPU bf16 matmul default would perturb
+    positions at the millimeter scale.
+    """
+    import jax
+
+    return (
+        jnp.matmul(
+            positions,
+            jnp.swapaxes(R, -1, -2),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + t[..., None, :]
+    )

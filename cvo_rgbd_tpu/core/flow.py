@@ -1,0 +1,92 @@
+"""Flow (twist) computation from the Gram matrix — matmul-factored.
+
+The reference accumulates, per nonzero A_ij, cross/difference terms under
+a spin mutex (cvo.cpp:164-210).  Those reductions factor exactly onto the
+MXU — no [N*M,3] intermediates, no mutex, no fp64 accumulators needed:
+
+    sum_ij A_ij (x_i x y_j)  =  sum_i x_i x (A @ Y)_i
+    sum_ij A_ij (y_j - x_i)  =  (1^T A) @ Y  -  (A @ 1) @ X
+
+and for adaptive CVO (adaptive_cvo.cpp:154-272):
+
+    sum_ij A_ij |x_i - y_j|^2
+        = (A@1).|X|^2 + (1^T A).|Y|^2 - 2 sum_i x_i.(A @ Y)_i
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# bf16 MXU passes (the TPU default for fp32 matmuls) put a ~1e-3
+# relative noise floor on the distance/reduction contractions, which
+# breaks the Gram symmetry cancellations and leaves a mm-level pose
+# bias.  All contractions here pin full-fp32 MXU precision.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _cross(a, b):
+    return jnp.cross(a, b, axis=-1)
+
+
+def flow(A, x_pos, y_pos, *, c, d):
+    """omega, v from dense masked A (cvo.cpp:164-210)."""
+    Ay = jnp.dot(A, y_pos, preferred_element_type=jnp.float32, precision=_HI)   # [N,3]
+    row = jnp.sum(A, axis=-1)                                    # A @ 1, [N]
+    col = jnp.sum(A, axis=-2)                                    # 1^T A, [M]
+    omega = jnp.sum(_cross(x_pos, Ay), axis=-2) / c
+    v = (
+        jnp.dot(col, y_pos, preferred_element_type=jnp.float32, precision=_HI)
+        - jnp.dot(row, x_pos, preferred_element_type=jnp.float32, precision=_HI)
+    ) / d
+    return omega, v
+
+
+def weighted_sqdist_sum(A, x_pos, y_pos):
+    """sum_ij A_ij |x_i - y_j|^2, matmul-factored."""
+    Ay = jnp.dot(A, y_pos, preferred_element_type=jnp.float32, precision=_HI)
+    row = jnp.sum(A, axis=-1)
+    col = jnp.sum(A, axis=-2)
+    x2 = jnp.sum(x_pos * x_pos, axis=-1)
+    y2 = jnp.sum(y_pos * y_pos, axis=-1)
+    return (
+        jnp.dot(row, x2, preferred_element_type=jnp.float32, precision=_HI)
+        + jnp.dot(col, y2, preferred_element_type=jnp.float32, precision=_HI)
+        - 2.0 * jnp.sum(x_pos * Ay)
+    )
+
+
+def nnz(A):
+    """Count of surviving (gated-in) kernel entries."""
+    return jnp.sum(A > 0)
+
+
+def adaptive_dl(A, Axx, Ayy, x_pos, y_pos, ell, *, num_fixed=None, yy_quirk=False):
+    """Length-scale gradient dl (adaptive_cvo.cpp:222-271).
+
+    dl = [ sum Ayy|dyy|^2 - 2 sum Axy|dyx|^2 + sum Axx|dxx|^2 ] / ell^3,
+    normalized by (nnz(Axx) + nnz(Ayy) - 2 nnz(A)).
+
+    yy_quirk=True reproduces the reference bug where Ayy rows
+    i < num_fixed read a zero |diff_yy|^2 buffer (adaptive_cvo.cpp:190,
+    256), so Ayy contributes to the numerator only via rows
+    i in [num_fixed, num_moving).  num_fixed must then be the *valid*
+    fixed-point count (scalar).
+    """
+    ell3 = ell * ell * ell
+    s_xy = weighted_sqdist_sum(A, x_pos, y_pos)
+    s_xx = weighted_sqdist_sum(Axx, x_pos, x_pos)
+    if yy_quirk:
+        if num_fixed is None:
+            raise ValueError("yy_quirk requires num_fixed")
+        m = y_pos.shape[-2]
+        rows = jnp.arange(m)
+        keep = (rows >= num_fixed).astype(Ayy.dtype)
+        Ayy_eff = Ayy * keep[:, None]
+        s_yy = weighted_sqdist_sum(Ayy_eff, y_pos, y_pos)
+    else:
+        s_yy = weighted_sqdist_sum(Ayy, y_pos, y_pos)
+    numer = (s_yy - 2.0 * s_xy + s_xx) / ell3
+    denom = nnz(Axx) + nnz(Ayy) - 2 * nnz(A)
+    denom = jnp.where(denom == 0, 1, denom).astype(numer.dtype)
+    return numer / denom

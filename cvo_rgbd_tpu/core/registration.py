@@ -1,0 +1,241 @@
+"""Frame-to-frame RKHS SE(3) registration — the align loop under jit.
+
+TPU-native re-design of cvo::align (cvo.cpp:361-420) and acvo::align
+(adaptive_cvo.cpp:490-555): the whole gradient flow runs as a single
+`lax.while_loop` inside one XLA program — early exit without recompiles,
+static shapes throughout, dense masked Gram per iteration.
+
+Reference loop semantics reproduced exactly (order matters):
+
+  per iteration k (cvo.cpp:366-411):
+    tf   = [R', -R'T]                  (update_tf, cvo.cpp:83-87)
+    y    = tf * y0                     (transform_pcd, cvo.cpp:310-315)
+    A    = se_kernel(ell)              (cvo.cpp:99-161)
+    omega, v [, dl]                    (compute_flow)
+    step                               (compute_step_size)
+    if |omega|<eps and |v|<eps: break  (BEFORE the update, cvo.cpp:380)
+    dR, dT = Exp_SEK3([omega;v], step) (cvo.cpp:391)
+    T = R dT + T ; R = R dR            (cvo.cpp:398-399)
+    if dist_se3(dR,dT)<eps_2: break    (AFTER the update, cvo.cpp:402)
+    ell schedule / adaptive update     (cvo.cpp:408-410 / adaptive_cvo.cpp:537-545)
+
+  postlude (cvo.cpp:413-415): accum uses the tf computed at the *top* of
+  the last executed iteration — i.e. when the loop breaks on the
+  eps_2 test the final (dR,dT) update is NOT folded into accum.  We
+  return that same `tf` so the odometry driver chains identically.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cvo_rgbd_tpu import se3
+from cvo_rgbd_tpu.core import flow as flow_mod
+from cvo_rgbd_tpu.core import gram as gram_mod
+from cvo_rgbd_tpu.core.cloud import PointCloud, transform_cloud
+from cvo_rgbd_tpu.core.step import step_size
+from cvo_rgbd_tpu.params import AcvoParams, CvoParams
+
+
+class AlignState(NamedTuple):
+    k: jnp.ndarray          # iteration counter
+    R: jnp.ndarray          # [3,3]
+    T: jnp.ndarray          # [3]
+    ell: jnp.ndarray        # current length-scale
+    ell_max: jnp.ndarray    # adaptive ceiling (unused for cvo)
+    tf: jnp.ndarray         # [4,4] inverse transform from top of last iter
+    converged: jnp.ndarray  # bool
+    omega: jnp.ndarray      # [3] last flow (for diagnostics)
+    v: jnp.ndarray          # [3]
+
+
+class AlignResult(NamedTuple):
+    tf: jnp.ndarray         # [4,4] the transform the reference chains into accum
+    R: jnp.ndarray          # final R (internal state)
+    T: jnp.ndarray          # final T
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+    ell: jnp.ndarray
+    omega: jnp.ndarray
+    v: jnp.ndarray
+
+
+def _schedule_ell(ell, k, sched):
+    """Fixed schedule (cvo.cpp:408-410): applied at end of iteration k."""
+    for thresh, val in sched:
+        ell = jnp.where(k > thresh, jnp.asarray(val, ell.dtype), ell)
+    return ell
+
+
+def _gram(p, x: PointCloud, y_pos, y_cloud: PointCloud, ell, ci):
+    if p.color_mode == "linear":
+        return gram_mod.matlab_gram(
+            x.positions, x.mask, y_pos, y_cloud.mask, ci, ell,
+            sigma=p.sigma, sp_thres=p.sp_thres,
+        )
+    return gram_mod.se_gram(
+        x.positions, x.features, x.mask,
+        y_pos, y_cloud.features, y_cloud.mask,
+        ell,
+        sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+    )
+
+
+def make_align_step(p, adaptive: bool):
+    """Build the per-iteration body shared by cvo/acvo align."""
+
+    def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
+             self_grams=None):
+        tf_R, tf_T = se3.se3_inv(state.R, state.T)
+        tf = se3.make_se3(tf_R, tf_T)
+        y_pos = transform_cloud(tf_R, tf_T, moving.positions)
+
+        A = _gram(p, fixed, y_pos, moving, state.ell, ci)
+        omega, v = flow_mod.flow(A, fixed.positions, y_pos, c=p.c, d=p.d)
+
+        if adaptive:
+            # self-kernels Axy/Axx/Ayy (adaptive_cvo.cpp:156-160); Axx is
+            # iteration-dependent only through ell; Ayy moves with y.
+            Axx = _gram(p, fixed, fixed.positions, fixed, state.ell, ci)
+            Ayy = gram_mod.se_gram(
+                y_pos, moving.features, moving.mask,
+                y_pos, moving.features, moving.mask,
+                state.ell,
+                sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+                sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+            )
+            dl = flow_mod.adaptive_dl(
+                A, Axx, Ayy, fixed.positions, y_pos, state.ell,
+                num_fixed=fixed.num_valid(), yy_quirk=p.yy_quirk,
+            )
+        else:
+            dl = jnp.zeros((), jnp.float32)
+
+        step = step_size(
+            A, fixed.positions, y_pos, omega, v, state.ell,
+            min_step=p.min_step, max_step=p.max_step,
+        )
+
+        # stop 1: flow norm, BEFORE the update (cvo.cpp:380)
+        stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)
+
+        dR, dT = se3.exp_sek3(omega, v, step)
+        R_new = jnp.where(stop1, state.R, state.R @ dR)
+        T_new = jnp.where(stop1, state.T, state.R @ dT + state.T)
+
+        # stop 2: se3 distance, AFTER the update (cvo.cpp:402)
+        stop2 = se3.dist_se3(dR, dT) < p.eps_2
+        converged = stop1 | stop2
+
+        if adaptive:
+            # ell update + shrinking ceiling + floor (adaptive_cvo.cpp:537-545)
+            ell_new = state.ell + p.dl_step * dl
+            hit = ell_new >= state.ell_max
+            ell_max_new = jnp.where(hit, state.ell_max * p.ell_shrink, state.ell_max)
+            ell_new = jnp.where(hit, state.ell_max * p.ell_shrink, ell_new)
+            ell_new = jnp.maximum(ell_new, p.ell_min)
+        else:
+            ell_new = _schedule_ell(state.ell, state.k, p.ell_sched)
+            ell_max_new = state.ell_max
+
+        # the reference `break` skips the ell update; keep ell frozen when
+        # converged so diagnostics match
+        ell_new = jnp.where(converged, state.ell, ell_new)
+
+        return AlignState(
+            k=state.k + 1,
+            R=R_new,
+            T=T_new,
+            ell=ell_new,
+            ell_max=ell_max_new,
+            tf=tf,
+            converged=converged,
+            omega=omega,
+            v=v,
+        )
+
+    return body
+
+
+def align(
+    p,
+    fixed: PointCloud,
+    moving: PointCloud,
+    R0=None,
+    T0=None,
+) -> AlignResult:
+    """Register `moving` onto `fixed`; pure function of its inputs.
+
+    `p` (CvoParams/AcvoParams) is static — jit with
+    `jax.jit(align, static_argnums=0)` or use the cached wrapper in
+    `cvo_rgbd_tpu.api`.
+    """
+    adaptive = isinstance(p, AcvoParams)
+    dtype = jnp.float32
+    R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
+    T0 = jnp.zeros(3, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)
+
+    if p.color_mode == "linear":
+        ci = gram_mod.linear_color_gram(
+            fixed.features, moving.features, p.color_scale
+        )
+    else:
+        ci = None
+
+    ell_max0 = p.ell_max_init if adaptive else 1e9
+    init = AlignState(
+        k=jnp.zeros((), jnp.int32),
+        R=R0,
+        T=T0,
+        ell=jnp.asarray(p.ell_init, dtype),
+        ell_max=jnp.asarray(ell_max0, dtype),
+        tf=jnp.eye(4, dtype=dtype),
+        converged=jnp.zeros((), bool),
+        omega=jnp.zeros(3, dtype),
+        v=jnp.zeros(3, dtype),
+    )
+
+    body = make_align_step(p, adaptive)
+
+    def cond_fn(s: AlignState):
+        return (s.k < p.max_iter) & ~s.converged
+
+    def body_fn(s: AlignState):
+        return body(s, fixed, moving, ci)
+
+    final = jax.lax.while_loop(cond_fn, body_fn, init)
+
+    # postlude (cvo.cpp:413-415): accum chains `tf` from the top of the
+    # last executed iteration.  `iter` is k of the breaking iteration.
+    return AlignResult(
+        tf=final.tf,
+        R=final.R,
+        T=final.T,
+        iterations=final.k - 1,
+        converged=final.converged,
+        ell=final.ell,
+        omega=final.omega,
+        v=final.v,
+    )
+
+
+def function_inner_product(p, cloud_a: PointCloud, cloud_b: PointCloud):
+    """Mean kernel value over gated pairs (adaptive_cvo.cpp:385-439).
+
+    A keyframe-selection hook in the reference (defined, not called by
+    the shipped mains).  Note the reference uses sp_thres — not
+    c_sp_thres — for the color gate here (adaptive_cvo.cpp:392).
+    """
+    A = gram_mod.se_gram(
+        cloud_a.positions, cloud_a.features, cloud_a.mask,
+        cloud_b.positions, cloud_b.features, cloud_b.mask,
+        jnp.asarray(p.ell_init, jnp.float32),
+        sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+        sp_thres=p.sp_thres, c_sp_thres=p.sp_thres,
+    )
+    n = flow_mod.nnz(A)
+    return jnp.sum(A) / jnp.maximum(n, 1).astype(jnp.float32)

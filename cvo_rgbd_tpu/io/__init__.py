@@ -1,0 +1,8 @@
+from cvo_rgbd_tpu.io.pcd import read_pcd
+from cvo_rgbd_tpu.io.tum import (
+    load_assoc,
+    read_trajectory,
+    write_trajectory_line,
+)
+
+__all__ = ["read_pcd", "load_assoc", "read_trajectory", "write_trajectory_line"]

@@ -1,0 +1,86 @@
+"""Frozen hyperparameter sets for CVO and Adaptive CVO.
+
+The reference exposes no config system: every hyperparameter is a
+constructor-time constant (cvo.cpp:18-48, adaptive_cvo.cpp:18-50).  Here
+they are frozen, hashable dataclasses, passed to jitted functions as
+static arguments — changing params recompiles, running doesn't.
+
+Defaults reproduce the reference constants exactly:
+- CvoParams     <- cvo.cpp:25-41
+- AcvoParams    <- adaptive_cvo.cpp:25-43
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CvoParams:
+    """Fixed-schedule CVO (cvo.cpp:25-41)."""
+
+    ell_init: float = 0.15      # kernel length-scale (cvo.cpp:25)
+    sigma: float = 0.1          # kernel signal std (cvo.cpp:26)
+    sp_thres: float = 8e-3      # sparsification threshold (cvo.cpp:27)
+    c: float = 7.0              # so(3) inner-product scale (cvo.cpp:28)
+    d: float = 7.0              # R^3 inner-product scale (cvo.cpp:29)
+    color_scale: float = 1e-5   # linear color-kernel scale (cvo.cpp:30)
+    c_ell: float = 200.0        # color kernel length-scale (cvo.cpp:31)
+    c_sigma: float = 1.0        # color kernel signal std (cvo.cpp:32)
+    max_iter: int = 2000        # (cvo.cpp:38)
+    min_step: float = 0.2       # (cvo.cpp:39)
+    max_step: float = 0.8       # step clamp (cvo.cpp:307)
+    eps: float = 5e-5           # flow-norm stop (cvo.cpp:40)
+    eps_2: float = 1e-5         # se3-distance stop (cvo.cpp:41)
+    # ell schedule: k>2 -> 0.10, k>9 -> 0.06, k>19 -> 0.03 (cvo.cpp:408-410)
+    ell_sched: tuple = ((2, 0.10), (9, 0.06), (19, 0.03))
+    # color mode: "se" = squared-exponential on 5-dim features, re-gated
+    # each iteration (cvo.cpp:143-153); "linear" = MATLAB's linear color
+    # inner product, precomputed once (rkhs_se3_registration.m:40-53).
+    color_mode: str = "se"
+
+    @property
+    def c_sp_thres(self) -> float:
+        # cvo uses sp_thres for the color gate too (cvo.cpp:103)
+        return self.sp_thres
+
+
+@dataclasses.dataclass(frozen=True)
+class AcvoParams:
+    """Adaptive CVO (adaptive_cvo.cpp:25-43)."""
+
+    ell_init: float = 0.1       # (adaptive_cvo.cpp:25)
+    ell_min: float = 0.0391     # (adaptive_cvo.cpp:27)
+    ell_max_init: float = 0.15  # reset per pair (adaptive_cvo.cpp:28, 477)
+    dl_step: float = 0.3        # (adaptive_cvo.cpp:30)
+    sigma: float = 0.1          # (adaptive_cvo.cpp:33)
+    sp_thres: float = 8.315e-3  # (adaptive_cvo.cpp:34)
+    c: float = 7.0              # (adaptive_cvo.cpp:35)
+    d: float = 7.0              # (adaptive_cvo.cpp:36)
+    c_ell: float = 0.5          # HSV-scale color length (adaptive_cvo.cpp:37)
+    c_sigma: float = 1.0        # (adaptive_cvo.cpp:38)
+    c_sp_thres: float = 8.315e-3  # separate color gate (adaptive_cvo.cpp:39)
+    max_iter: int = 2000        # (adaptive_cvo.cpp:40)
+    min_step: float = 0.2       # (adaptive_cvo.cpp:41)
+    max_step: float = 0.8       # (adaptive_cvo.cpp:369)
+    eps: float = 5e-5           # (adaptive_cvo.cpp:42)
+    eps_2: float = 1e-5         # (adaptive_cvo.cpp:43)
+    ell_shrink: float = 0.7     # ceiling shrink factor (adaptive_cvo.cpp:542-543)
+    color_mode: str = "se"
+    # Reference quirk (adaptive_cvo.cpp:190, 256; SURVEY.md section 3.2):
+    # Ayy rows i < num_fixed read a zero-initialized |diff_yy|^2 buffer, so
+    # they never contribute to the dl numerator.  False = correct math,
+    # True = bit-faithful emulation.
+    yy_quirk: bool = False
+
+
+# MATLAB prototype parameter set (rkhs_se3_registration.m:7-36): linear
+# color kernel precomputed once, looser tolerances.  The MATLAB schedule
+# (1-based k > 3/10/20, rkhs_se3_registration.m:242-250) is the same as
+# the C++ one (0-based k > 2/9/19, cvo.cpp:408-410).
+MATLAB_PARAMS = CvoParams(
+    sp_thres=1e-3,
+    eps=5e-4,
+    eps_2=1e-4,
+    color_mode="linear",
+)

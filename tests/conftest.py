@@ -1,0 +1,33 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; the standard way to test
+pjit/shard_map/psum without a pod is XLA's host-platform device-count
+override (SURVEY.md section 4).
+
+Note: the session's sitecustomize registers the single-chip tunneled TPU
+backend and sets `jax.config.jax_platforms = "axon,cpu"` programmatically,
+which overrides the JAX_PLATFORMS env var — so we must override the
+config value itself, before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,103 @@
+"""NumPy float64 oracle: literal dense transcription of the reference math.
+
+Transcribed from cvo.cpp:99-308 (se_kernel / compute_flow /
+compute_step_size) and rkhs_se3_registration.m:55-197 — loop-based,
+slow, and independent of the JAX implementation under test.
+"""
+
+import numpy as np
+
+
+def se_kernel_oracle(xp, xf, yp, yf, ell, sigma, c_ell, c_sigma,
+                     sp_thres, c_sp_thres):
+    """Dense gated kernel matrix (cvo.cpp:99-161)."""
+    s2 = sigma * sigma
+    cs2 = c_sigma * c_sigma
+    d2_thres = -2.0 * ell * ell * np.log(sp_thres / s2)
+    d2_c_thres = -2.0 * c_ell * c_ell * np.log(c_sp_thres / cs2)
+    n, m = xp.shape[0], yp.shape[0]
+    A = np.zeros((n, m))
+    for i in range(n):
+        for j in range(m):
+            d2 = np.sum((xp[i] - yp[j]) ** 2)
+            if d2 < d2_thres:
+                d2c = np.sum((xf[i] - yf[j]) ** 2)
+                if d2c < d2_c_thres:
+                    k = s2 * np.exp(-d2 / (2 * ell * ell))
+                    ck = cs2 * np.exp(-d2c / (2 * c_ell * c_ell))
+                    a = k * ck
+                    if a > sp_thres:
+                        A[i, j] = a
+    return A
+
+
+def flow_oracle(A, xp, yp, c, d):
+    """omega, v (cvo.cpp:164-210)."""
+    omega = np.zeros(3)
+    v = np.zeros(3)
+    n, m = A.shape
+    for i in range(n):
+        for j in range(m):
+            if A[i, j] != 0:
+                omega += A[i, j] * np.cross(xp[i], yp[j]) / c
+                v += A[i, j] * (yp[j] - xp[i]) / d
+    return omega, v
+
+
+def step_coeffs_oracle(A, xp, yp, omega, v, ell):
+    """B, C, D, E (cvo.cpp:213-289)."""
+    def skew(w):
+        return np.array([
+            [0, -w[2], w[1]],
+            [w[2], 0, -w[0]],
+            [-w[1], w[0], 0],
+        ])
+
+    oh = skew(omega)
+    m = yp.shape[0]
+    xiz = np.cross(np.broadcast_to(omega, yp.shape), yp) + v
+    xi2z = (oh @ oh @ yp.T + (oh @ v)[:, None]).T
+    xi3z = (oh @ oh @ oh @ yp.T + (oh @ oh @ v)[:, None]).T
+    xi4z = (oh @ oh @ oh @ oh @ yp.T + (oh @ oh @ oh @ v)[:, None]).T
+    normxiz2 = np.sum(xiz**2, axis=1)
+    xiz_dot_xi2z = -np.sum(xiz * xi2z, axis=1)
+    epsil_const = np.sum(xi2z**2, axis=1) + 2 * np.sum(xiz * xi3z, axis=1)
+
+    tc = 1.0 / (2 * ell * ell)
+    B = C = D = E = 0.0
+    n = xp.shape[0]
+    for i in range(n):
+        for j in range(m):
+            a = A[i, j]
+            if a == 0:
+                continue
+            dxy = xp[i] - yp[j]
+            beta = -2 * tc * np.dot(xiz[j], dxy)
+            gamma = -tc * (normxiz2[j] + 2 * np.dot(xi2z[j], dxy))
+            delta = 2 * tc * (xiz_dot_xi2z[j] - np.dot(xi3z[j], dxy))
+            epsil = -tc * (epsil_const[j] + 2 * np.dot(xi4z[j], dxy))
+            B += a * beta
+            C += a * (gamma + beta**2 / 2)
+            D += a * (delta + beta * gamma + beta**3 / 6)
+            E += a * (
+                epsil + beta * delta + beta**2 * gamma / 2
+                + gamma**2 / 2 + beta**4 / 24
+            )
+    return B, C, D, E
+
+
+def adaptive_dl_oracle(A, Axx, Ayy, xp, yp, ell):
+    """Correct-math dl (adaptive_cvo.cpp:222-271, without the yy quirk)."""
+    ell3 = ell**3
+
+    def wsum(M, a, b):
+        s = 0.0
+        for i in range(M.shape[0]):
+            for j in range(M.shape[1]):
+                if M[i, j] != 0:
+                    s += M[i, j] * np.sum((a[i] - b[j]) ** 2)
+        return s
+
+    numer = (wsum(Ayy, yp, yp) - 2 * wsum(A, xp, yp) + wsum(Axx, xp, xp)) / ell3
+    denom = np.count_nonzero(Axx) + np.count_nonzero(Ayy) - 2 * np.count_nonzero(A)
+    return numer / max(denom, 1)

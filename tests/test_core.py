@@ -1,0 +1,230 @@
+"""Core kernel/flow/step tests against the NumPy float64 oracle."""
+
+import numpy as np
+import pytest
+
+from cvo_rgbd_tpu.core import cubic, flow, gram, step
+from cvo_rgbd_tpu.core.cloud import pad_cloud
+from cvo_rgbd_tpu.params import AcvoParams, CvoParams
+
+from oracle import (
+    adaptive_dl_oracle,
+    flow_oracle,
+    se_kernel_oracle,
+    step_coeffs_oracle,
+)
+
+
+def make_clouds(rng, n=60, m=70, feat_scale=0.2):
+    base = rng.standard_normal((max(n, m), 3)).astype(np.float32) * 0.5
+    basef = rng.random((max(n, m), 5)).astype(np.float32) * feat_scale
+    xp = base[:n]
+    yp = base[:m] + rng.standard_normal((m, 3)).astype(np.float32) * 0.03
+    xf = basef[:n]
+    yf = basef[:m] + rng.standard_normal((m, 5)).astype(np.float32) * 0.01 * feat_scale
+    return xp, xf, yp, yf
+
+
+P = AcvoParams()  # HSV-scale constants exercise both gates
+
+
+def params_kwargs(p):
+    return dict(
+        sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+    )
+
+
+def test_gram_matches_oracle(rng):
+    xp, xf, yp, yf = make_clouds(rng)
+    A_ref = se_kernel_oracle(
+        xp.astype(np.float64), xf.astype(np.float64),
+        yp.astype(np.float64), yf.astype(np.float64),
+        0.1, P.sigma, P.c_ell, P.c_sigma, P.sp_thres, P.c_sp_thres,
+    )
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    A = np.asarray(gram.se_gram(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask,
+        0.1, **params_kwargs(P),
+    ))
+    nv, mv = A_ref.shape
+    # same sparsity pattern (gates are identical by construction)
+    assert np.array_equal(A[:nv, :mv] != 0, A_ref != 0)
+    np.testing.assert_allclose(A[:nv, :mv], A_ref, rtol=2e-5, atol=1e-7)
+    # padding rows/cols are exactly zero
+    assert np.all(A[nv:] == 0) and np.all(A[:, mv:] == 0)
+
+
+def test_flow_matches_oracle(rng):
+    xp, xf, yp, yf = make_clouds(rng)
+    A_ref = se_kernel_oracle(
+        xp.astype(np.float64), xf.astype(np.float64),
+        yp.astype(np.float64), yf.astype(np.float64),
+        0.1, P.sigma, P.c_ell, P.c_sigma, P.sp_thres, P.c_sp_thres,
+    )
+    om_ref, v_ref = flow_oracle(A_ref, xp.astype(np.float64), yp.astype(np.float64), P.c, P.d)
+
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    A = gram.se_gram(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask,
+        0.1, **params_kwargs(P),
+    )
+    om, v = flow.flow(A, x.positions, y.positions, c=P.c, d=P.d)
+    scale = max(np.linalg.norm(om_ref), np.linalg.norm(v_ref), 1e-6)
+    np.testing.assert_allclose(np.asarray(om), om_ref, atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(v), v_ref, atol=2e-5 * scale)
+
+
+def test_step_coeffs_match_oracle(rng):
+    xp, xf, yp, yf = make_clouds(rng)
+    A_ref = se_kernel_oracle(
+        xp.astype(np.float64), xf.astype(np.float64),
+        yp.astype(np.float64), yf.astype(np.float64),
+        0.1, P.sigma, P.c_ell, P.c_sigma, P.sp_thres, P.c_sp_thres,
+    )
+    omega = np.array([0.02, -0.03, 0.01])
+    v = np.array([0.05, 0.02, -0.04])
+    B_r, C_r, D_r, E_r = step_coeffs_oracle(
+        A_ref, xp.astype(np.float64), yp.astype(np.float64), omega, v, 0.1
+    )
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    A = gram.se_gram(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask,
+        0.1, **params_kwargs(P),
+    )
+    B, C, D, E = step.step_coefficients(
+        A, x.positions, y.positions,
+        omega.astype(np.float32), v.astype(np.float32), 0.1,
+    )
+    for got, ref in [(B, B_r), (C, C_r), (D, D_r), (E, E_r)]:
+        np.testing.assert_allclose(float(got), ref, rtol=1e-3, atol=1e-5)
+
+
+def test_adaptive_dl_matches_oracle(rng):
+    xp, xf, yp, yf = make_clouds(rng, n=50, m=50)
+    kw64 = dict(ell=0.1, sigma=P.sigma, c_ell=P.c_ell, c_sigma=P.c_sigma,
+                sp_thres=P.sp_thres, c_sp_thres=P.c_sp_thres)
+    A_r = se_kernel_oracle(xp, xf, yp, yf, **kw64)
+    Axx_r = se_kernel_oracle(xp, xf, xp, xf, **kw64)
+    Ayy_r = se_kernel_oracle(yp, yf, yp, yf, **kw64)
+    dl_ref = adaptive_dl_oracle(A_r, Axx_r, Ayy_r, xp.astype(np.float64), yp.astype(np.float64), 0.1)
+
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    kw = params_kwargs(P)
+    A = gram.se_gram(x.positions, x.features, x.mask, y.positions, y.features, y.mask, 0.1, **kw)
+    Axx = gram.se_gram(x.positions, x.features, x.mask, x.positions, x.features, x.mask, 0.1, **kw)
+    Ayy = gram.se_gram(y.positions, y.features, y.mask, y.positions, y.features, y.mask, 0.1, **kw)
+    dl = flow.adaptive_dl(A, Axx, Ayy, x.positions, y.positions, 0.1)
+    np.testing.assert_allclose(float(dl), dl_ref, rtol=1e-3, atol=1e-7)
+
+
+def test_adaptive_dl_yy_quirk(rng):
+    """quirk=True with num_moving <= num_fixed: Ayy numerator drops out."""
+    xp, xf, yp, yf = make_clouds(rng, n=50, m=50)
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    kw = params_kwargs(P)
+    A = gram.se_gram(x.positions, x.features, x.mask, y.positions, y.features, y.mask, 0.1, **kw)
+    Axx = gram.se_gram(x.positions, x.features, x.mask, x.positions, x.features, x.mask, 0.1, **kw)
+    Ayy = gram.se_gram(y.positions, y.features, y.mask, y.positions, y.features, y.mask, 0.1, **kw)
+    dl_q = flow.adaptive_dl(A, Axx, Ayy, x.positions, y.positions, 0.1,
+                            num_fixed=50, yy_quirk=True)
+    # oracle for the quirky value: drop the yy term from the numerator
+    import oracle as o
+    A_r = se_kernel_oracle(xp, xf, yp, yf, ell=0.1, sigma=P.sigma, c_ell=P.c_ell,
+                           c_sigma=P.c_sigma, sp_thres=P.sp_thres, c_sp_thres=P.c_sp_thres)
+    Axx_r = se_kernel_oracle(xp, xf, xp, xf, ell=0.1, sigma=P.sigma, c_ell=P.c_ell,
+                             c_sigma=P.c_sigma, sp_thres=P.sp_thres, c_sp_thres=P.c_sp_thres)
+    Ayy_r = se_kernel_oracle(yp, yf, yp, yf, ell=0.1, sigma=P.sigma, c_ell=P.c_ell,
+                             c_sigma=P.c_sigma, sp_thres=P.sp_thres, c_sp_thres=P.c_sp_thres)
+    ell3 = 0.1**3
+
+    def wsum(M, a, b):
+        s = 0.0
+        for i in range(M.shape[0]):
+            for j in range(M.shape[1]):
+                if M[i, j] != 0:
+                    s += M[i, j] * np.sum((a[i].astype(np.float64) - b[j]) ** 2)
+        return s
+
+    numer = (0.0 - 2 * wsum(A_r, xp, yp) + wsum(Axx_r, xp, xp)) / ell3
+    denom = np.count_nonzero(Axx_r) + np.count_nonzero(Ayy_r) - 2 * np.count_nonzero(A_r)
+    np.testing.assert_allclose(float(dl_q), numer / max(denom, 1), rtol=1e-3)
+
+
+def test_matlab_gram_linear_color(rng):
+    """MATLAB mode: A = CI .* K with K < sp zeroed (rkhs:125-127)."""
+    xp, xf, yp, yf = make_clouds(rng)
+    p = CvoParams(color_mode="linear", sp_thres=1e-3)
+    x = pad_cloud(xp, xf[:, :3])
+    y = pad_cloud(yp, yf[:, :3])
+    ci = gram.linear_color_gram(x.features, y.features, p.color_scale)
+    A = np.asarray(gram.matlab_gram(
+        x.positions, x.mask, y.positions, y.mask, ci, 0.15,
+        sigma=p.sigma, sp_thres=p.sp_thres,
+    ))
+    # oracle
+    n, m = xp.shape[0], yp.shape[0]
+    D2 = ((xp[:, None, :] - yp[None, :, :]) ** 2).sum(-1)
+    K = p.sigma**2 * np.exp(-D2 / (2 * 0.15**2))
+    K[K < p.sp_thres] = 0
+    CI = p.color_scale * xf[:, :3] @ yf[:, :3].T
+    np.testing.assert_allclose(A[:n, :m], CI * K, rtol=2e-4, atol=1e-9)
+
+
+# ---------- cubic solver ----------
+
+def _check_roots(coef, got):
+    """Every returned root is a root; every real np root is represented."""
+    a, b, c, d = (float(x) for x in coef)
+    for t in got:
+        assert np.isfinite(t)
+        p = ((a * t + b) * t + c) * t + d
+        scale = max(abs(a * t**3), abs(b * t**2), abs(c * t), abs(d), 1e-6)
+        assert abs(p) < 1e-3 * scale, (coef, t, p)
+    for r in np.roots(coef):
+        if abs(r.imag) < 1e-7 * max(1.0, abs(r.real)):
+            assert any(abs(t - r.real) < 1e-3 * max(1.0, abs(r.real)) for t in got), (coef, got, r)
+
+
+@pytest.mark.parametrize("coef", [
+    (2.0, -3.0, -11.0, 6.0),      # roots 3, -2, 0.5
+    (1.0, 0.0, -1.0, 0.0),        # roots 0, 1, -1
+    (1.0, -6.0, 11.0, -6.0),      # roots 1, 2, 3
+    (1.0, 0.0, 0.0, -8.0),        # single real root 2
+    (1.0, 3.0, 3.0, 1.0),         # triple root -1
+    (0.0, 1.0, -3.0, 2.0),        # quadratic: 1, 2
+    (0.0, 1.0, 0.0, 1.0),         # quadratic, complex roots
+    (0.0, 0.0, 2.0, -5.0),        # linear: 2.5
+])
+def test_cubic_roots_vs_numpy(coef):
+    roots, valid = cubic.cubic_roots(*coef)
+    got = [float(r) for r, ok in zip(np.asarray(roots), np.asarray(valid)) if ok]
+    _check_roots(coef, got)
+
+
+def test_min_positive_root_semantics():
+    # roots 3, -2, 0.5 -> pick 0.5
+    r, ok = cubic.cubic_roots(2.0, -3.0, -11.0, 6.0)
+    assert abs(float(cubic.min_positive_root(r, ok, 0.2, 0.8)) - 0.5) < 1e-5
+    # roots 1,2,3 -> min positive 1 but clamp to 0.8
+    r, ok = cubic.cubic_roots(1.0, -6.0, 11.0, -6.0)
+    assert abs(float(cubic.min_positive_root(r, ok, 0.2, 0.8)) - 0.8) < 1e-6
+    # no positive real roots -> min_step
+    r, ok = cubic.cubic_roots(0.0, 1.0, 0.0, 1.0)
+    assert abs(float(cubic.min_positive_root(r, ok, 0.2, 0.8)) - 0.2) < 1e-6
+
+
+def test_cubic_random_fuzz(rng):
+    for _ in range(200):
+        coef = rng.standard_normal(4) * np.power(10.0, rng.integers(-3, 3, 4))
+        roots, valid = cubic.cubic_roots(*coef)
+        got = [float(r) for r, ok in zip(np.asarray(roots), np.asarray(valid)) if ok]
+        _check_roots(coef, got)
