@@ -1,0 +1,109 @@
+"""Command-line interface.
+
+`python -m cvo_rgbd_tpu.cli run <folder> <seq> [--adaptive]` mirrors the
+reference executables (`./cvo $data_path $tum_seq`, README.md:49-59),
+plus evaluation subcommands replacing evaluate_ate.py / evaluate_rpe.py
+and an `associate` subcommand replacing assoc.sh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_run(args):
+    from cvo_rgbd_tpu.odometry import run_odometry
+
+    seq = int(args.seq) if args.seq.isdigit() else args.seq
+    run_odometry(
+        args.folder,
+        seq,
+        adaptive=args.adaptive,
+        output=args.output,
+        max_frames=args.max_frames,
+        checkpoint=args.checkpoint,
+        num_want=args.num_want,
+    )
+
+
+def _cmd_ate(args):
+    from cvo_rgbd_tpu.evaluation import ate_rmse
+    from cvo_rgbd_tpu.io.tum import read_trajectory
+
+    stats = ate_rmse(
+        read_trajectory(args.groundtruth),
+        read_trajectory(args.estimate),
+        max_difference=args.max_difference,
+    )
+    if args.verbose:
+        print(json.dumps(stats, indent=2))
+    else:
+        print(f"{stats['rmse']:.6f}")
+
+
+def _cmd_rpe(args):
+    from cvo_rgbd_tpu.evaluation import rpe
+    from cvo_rgbd_tpu.io.tum import read_trajectory
+
+    stats = rpe(
+        read_trajectory(args.groundtruth),
+        read_trajectory(args.estimate),
+        delta=args.delta,
+        delta_unit=args.delta_unit,
+        fixed_delta=True,
+    )
+    print(json.dumps(stats, indent=2))
+
+
+def _cmd_associate(args):
+    from cvo_rgbd_tpu.evaluation.associate import associate, read_file_list
+
+    first = read_file_list(args.first)
+    second = read_file_list(args.second)
+    for a, b in associate(first, second, args.offset, args.max_difference):
+        print(f"{a:f} {' '.join(first[a])} {b:f} {' '.join(second[b])}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cvo_rgbd_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run odometry on a TUM-format folder")
+    pr.add_argument("folder")
+    pr.add_argument("seq", help="camera key: 0..5 or realsense/fr1/fr2/fr3/kitti15/kitti05")
+    pr.add_argument("--adaptive", action="store_true")
+    pr.add_argument("--output")
+    pr.add_argument("--max-frames", type=int)
+    pr.add_argument("--checkpoint")
+    pr.add_argument("--num-want", type=int, default=3000)
+    pr.set_defaults(fn=_cmd_run)
+
+    pa = sub.add_parser("evaluate-ate", help="ATE RMSE of a trajectory")
+    pa.add_argument("groundtruth")
+    pa.add_argument("estimate")
+    pa.add_argument("--max-difference", type=float, default=0.02)
+    pa.add_argument("--verbose", action="store_true")
+    pa.set_defaults(fn=_cmd_ate)
+
+    pp = sub.add_parser("evaluate-rpe", help="RPE of a trajectory")
+    pp.add_argument("groundtruth")
+    pp.add_argument("estimate")
+    pp.add_argument("--delta", type=float, default=1.0)
+    pp.add_argument("--delta-unit", default="s", choices=["s", "m", "rad", "deg", "f"])
+    pp.set_defaults(fn=_cmd_rpe)
+
+    ps = sub.add_parser("associate", help="match rgb.txt and depth.txt timestamps")
+    ps.add_argument("first")
+    ps.add_argument("second")
+    ps.add_argument("--offset", type=float, default=0.0)
+    ps.add_argument("--max-difference", type=float, default=0.02)
+    ps.set_defaults(fn=_cmd_associate)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

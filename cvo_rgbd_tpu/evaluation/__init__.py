@@ -1,0 +1,5 @@
+from cvo_rgbd_tpu.evaluation.associate import associate
+from cvo_rgbd_tpu.evaluation.ate import ate_rmse, horn_align
+from cvo_rgbd_tpu.evaluation.rpe import rpe
+
+__all__ = ["associate", "ate_rmse", "horn_align", "rpe"]

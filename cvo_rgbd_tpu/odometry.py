@@ -1,0 +1,169 @@
+"""Frame-to-frame odometry driver: the reference CLI loop, resumable.
+
+Replaces cvo_main.cpp:8-73 / adaptive_cvo_main.cpp: parse assoc.txt,
+loop frames, frontend -> align -> chain accumulated pose, append a TUM
+trajectory line per frame, per-frame timing.
+
+Improvements over the reference (SURVEY.md section 5):
+- explicit `OdometryState` checkpoint (accum pose + frame index) —
+  resuming regenerates the fixed cloud from frame i-1 and continues;
+- structured per-frame records (iterations, convergence, wall time)
+  instead of raw couts;
+- skip-and-mark failure semantics per pair (the MATLAB batch runner's
+  try/catch NaN behavior, rgbddataset_rkhs.m:49-81): a non-finite
+  transform marks the frame and carries the previous accumulated pose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from cvo_rgbd_tpu import align_jit
+from cvo_rgbd_tpu.frontend import make_frontend
+from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
+from cvo_rgbd_tpu.params import AcvoParams, CvoParams
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    index: int
+    name: str
+    iterations: int
+    converged: bool
+    failed: bool
+    seconds: float
+
+
+@dataclasses.dataclass
+class OdometryState:
+    frame_index: int          # next frame to process
+    accum: np.ndarray         # [4,4] accumulated transform
+
+    def save(self, path):
+        with open(path, "w") as f:
+            json.dump(
+                {"frame_index": self.frame_index, "accum": self.accum.tolist()},
+                f,
+            )
+
+    @staticmethod
+    def load(path) -> "OdometryState":
+        with open(path) as f:
+            d = json.load(f)
+        return OdometryState(d["frame_index"], np.array(d["accum"]))
+
+
+def load_image_pair(folder, entry):
+    """PNG loading analog of load_img (cvo_main.cpp:104-107): 8-bit RGB
+    + 16-bit depth."""
+    from PIL import Image
+
+    rgb = np.asarray(
+        Image.open(os.path.join(folder, entry.rgb_path)).convert("RGB"),
+        dtype=np.float32,
+    )
+    dep = np.asarray(
+        Image.open(os.path.join(folder, entry.depth_path)), dtype=np.float32
+    )
+    return rgb, dep
+
+
+def run_odometry(
+    folder,
+    dataset_seq,
+    adaptive=False,
+    params=None,
+    output=None,
+    max_frames=None,
+    checkpoint=None,
+    num_want=3000,
+    log=print,
+):
+    """Run the full odometry loop.  Returns list[FrameRecord].
+
+    `dataset_seq` selects camera intrinsics (int or name, see
+    frontend.camera).  `adaptive` picks acvo (feature_type 0 + adaptive
+    ell, adaptive_cvo.cpp:451) vs cvo (feature_type 1, cvo.cpp:340).
+    """
+    params = params or (AcvoParams() if adaptive else CvoParams())
+    feature_type = 0 if adaptive else 1
+    frontend = make_frontend(dataset_seq, num_want, feature_type)
+
+    entries = load_assoc(os.path.join(folder, "assoc.txt"))
+    if max_frames:
+        entries = entries[:max_frames]
+    if output is None:
+        output = os.path.join(
+            folder, "acvo_poses_qt.txt" if adaptive else "cvo_poses_qt.txt"
+        )
+
+    state = OdometryState(0, np.eye(4))
+    mode = "w"
+    if checkpoint and os.path.exists(checkpoint):
+        state = OdometryState.load(checkpoint)
+        mode = "a"
+        log(f"resuming at frame {state.frame_index}")
+
+    records: list[FrameRecord] = []
+    fixed_cloud = None
+    start = max(state.frame_index - 1, 0)
+    total_t0 = time.time()
+
+    with open(output, mode) as traj:
+        for i in range(start, len(entries)):
+            t0 = time.time()
+            rgb, dep = load_image_pair(folder, entries[i])
+            cloud = frontend(rgb, dep)
+
+            if fixed_cloud is None:
+                # first frame seeds the fixed cloud (cvo.cpp:326-334)
+                fixed_cloud = cloud
+                if i >= state.frame_index:
+                    write_trajectory_line(traj, entries[i].name, state.accum)
+                    state.frame_index = i + 1
+                continue
+
+            res = align_jit(params, fixed_cloud, cloud)
+            tf = np.asarray(res.tf)
+            failed = not bool(np.isfinite(tf).all())
+            if failed:
+                # skip-and-mark (rgbddataset_rkhs.m:49-81): keep previous
+                # accum, use the new frame as the next fixed cloud
+                log(f"frame {i}: non-finite transform, skipping")
+            else:
+                state.accum = state.accum @ tf
+            fixed_cloud = cloud
+
+            dt = time.time() - t0
+            rec = FrameRecord(
+                index=i,
+                name=entries[i].name,
+                iterations=int(res.iterations),
+                converged=bool(res.converged),
+                failed=failed,
+                seconds=dt,
+            )
+            records.append(rec)
+            write_trajectory_line(traj, entries[i].name, state.accum)
+            traj.flush()
+            state.frame_index = i + 1
+            if checkpoint:
+                state.save(checkpoint)
+            log(
+                f"frame {i}/{len(entries)}: iters={rec.iterations} "
+                f"conv={rec.converged} t={dt*1000:.1f}ms"
+            )
+
+    total = time.time() - total_t0
+    n = len(records)
+    if n:
+        log(
+            f"processed {n} pairs in {total:.1f}s "
+            f"({n / total:.2f} frames/s)"
+        )
+    return records

@@ -101,3 +101,92 @@ def adaptive_dl_oracle(A, Axx, Ayy, xp, yp, ell):
     numer = (wsum(Ayy, yp, yp) - 2 * wsum(A, xp, yp) + wsum(Axx, xp, xp)) / ell3
     denom = np.count_nonzero(Axx) + np.count_nonzero(Ayy) - 2 * np.count_nonzero(A)
     return numer / max(denom, 1)
+
+
+# ---------------------------------------------------------------------------
+# Full float64 align-loop oracle (vectorized numpy, independent of JAX)
+# Literal transcription of cvo::align (cvo.cpp:361-420) in dense form.
+# ---------------------------------------------------------------------------
+
+def se_gram_np(xp, xf, yp, yf, ell, p):
+    s2 = p.sigma**2
+    cs2 = p.c_sigma**2
+    d2_thres = -2.0 * ell * ell * np.log(p.sp_thres / s2)
+    d2_c_thres = -2.0 * p.c_ell**2 * 2 * np.log(p.c_sp_thres / cs2) / 2
+    d2 = ((xp[:, None, :] - yp[None, :, :]) ** 2).sum(-1)
+    d2c = ((xf[:, None, :] - yf[None, :, :]) ** 2).sum(-1)
+    k = s2 * np.exp(-d2 / (2 * ell * ell))
+    ck = cs2 * np.exp(-d2c / (2 * p.c_ell**2))
+    a = k * ck
+    gate = (d2 < d2_thres) & (d2c < d2_c_thres) & (a > p.sp_thres)
+    return np.where(gate, a, 0.0)
+
+
+def exp_sek3_np(w, v, dt):
+    th = np.linalg.norm(w)
+    I = np.eye(3)
+    if th < 1e-6:
+        return I, v.copy()
+    A = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    A2 = A @ A
+    st, ct = np.sin(dt * th), np.cos(dt * th)
+    R = I + (st / th) * A + ((1 - ct) / th**2) * A2
+    Jl = dt * I + ((1 - ct) / th**2) * A + ((dt * th - st) / th**3) * A2
+    return R, Jl @ v
+
+
+def align_oracle(xp, xf, yp, yf, p, max_iter=None, trace=False):
+    """Returns (tf [4,4], iters).  Dense float64, np.roots step solver."""
+    from scipy.linalg import logm
+
+    xp = xp.astype(np.float64); xf = xf.astype(np.float64)
+    yp0 = yp.astype(np.float64); yf = yf.astype(np.float64)
+    R = np.eye(3); T = np.zeros(3)
+    ell = p.ell_init
+    max_iter = max_iter or p.max_iter
+    tf = np.eye(4)
+    rows = []
+    for k in range(max_iter):
+        Rt = R.T; Tt = -R.T @ T
+        tf = np.eye(4); tf[:3, :3] = Rt; tf[:3, 3] = Tt
+        yp = yp0 @ Rt.T + Tt
+        A = se_gram_np(xp, xf, yp, yf, ell, p)
+        Ay = A @ yp
+        rowA = A.sum(1); colA = A.sum(0)
+        omega = np.cross(xp, Ay).sum(0) / p.c
+        v = (colA @ yp - rowA @ xp) / p.d
+        # step size
+        oh = np.array([[0,-omega[2],omega[1]],[omega[2],0,-omega[0]],[-omega[1],omega[0],0]])
+        xiz = np.cross(np.broadcast_to(omega, yp.shape), yp) + v
+        xi2z = yp @ (oh@oh).T + oh@v
+        xi3z = yp @ (oh@oh@oh).T + oh@oh@v
+        xi4z = yp @ (oh@oh@oh@oh).T + oh@oh@oh@v
+        tc = 1/(2*ell*ell)
+        def dot_field(wf):
+            return xp @ wf.T - (wf*yp).sum(1)[None, :]
+        beta = -2*tc*dot_field(xiz)
+        gamma = -tc*((xiz**2).sum(1)[None,:] + 2*dot_field(xi2z))
+        delta = 2*tc*((-(xiz*xi2z).sum(1))[None,:] - dot_field(xi3z))
+        epsil = -tc*(((xi2z**2).sum(1)+2*(xiz*xi3z).sum(1))[None,:] + 2*dot_field(xi4z))
+        B = (A*beta).sum()
+        C = (A*(gamma+beta**2/2)).sum()
+        D = (A*(delta+beta*gamma+beta**3/6)).sum()
+        E = (A*(epsil+beta*delta+0.5*beta**2*gamma+0.5*gamma**2+beta**4/24)).sum()
+        rts = np.roots([4*E, 3*D, 2*C, B])
+        pos = [r.real for r in rts if r.real > 0 and abs(r.imag) < 1e-12]
+        step = min(pos) if pos else p.min_step
+        step = min(step, p.max_step)
+        if trace:
+            rows.append((k, np.linalg.norm(omega), np.linalg.norm(v), step, ell, int((A>0).sum())))
+        if np.linalg.norm(omega) < p.eps and np.linalg.norm(v) < p.eps:
+            break
+        dR, dT = exp_sek3_np(omega, v, step)
+        T = R @ dT + T
+        R = R @ dR
+        X = np.eye(4); X[:3,:3] = dR; X[:3,3] = dT
+        if np.linalg.norm(logm(X)) < p.eps_2:
+            break
+        for thresh, val in p.ell_sched:
+            if k > thresh:
+                ell = val
+    return (tf, k, rows) if trace else (tf, k)
