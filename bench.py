@@ -1,0 +1,95 @@
+"""Benchmark: frames/s registering the vendored fr1/desk fixture pairs.
+
+Protocol mirrors the stored MATLAB batch run whose per-pair
+registration_time array is the minted baseline
+(data/rgbd_dataset/freiburg1_desk/freiburg1_desk_07-May-2019-02-35-00.mat,
+written by rgbddataset_rkhs.m:62-88): same clouds, same preprocessing
+(range filter [0.8, 4] m + 0.05 grid downsample, rgbddataset_rkhs.m:40-47),
+same dense-kernel algorithm (MATLAB parameter set).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "frames/s", "vs_baseline": x}
+vs_baseline is the speedup over the MATLAB CPU mean of 7.954 s/pair.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+MATLAB_MEAN_S_PER_PAIR = 7.953976  # mean of the stored registration_time
+DS = "/root/reference/data/rgbd_dataset/freiburg1_desk"
+STAMPS = [
+    "1305031453.359684",
+    "1305031453.391690",
+    "1305031453.423683",
+    "1305031453.459685",
+    "1305031453.491698",
+]
+
+
+def load_clouds():
+    from cvo_rgbd_tpu import pad_cloud
+    from cvo_rgbd_tpu.io import read_pcd
+    from cvo_rgbd_tpu.utils import grid_downsample, range_filter
+
+    raw = []
+    for t in STAMPS:
+        d = read_pcd(f"{DS}/pcd_ds/{t}.pcd")
+        pos, col = range_filter(d["positions"], d["colors"])
+        pos, col = grid_downsample(pos, col, 0.05)
+        raw.append((pos, col * 255.0))  # MATLAB Color is uint8-scaled
+    cap = 128 * ((max(p.shape[0] for p, _ in raw) + 127) // 128)
+    return [pad_cloud(p, c, capacity=cap) for p, c in raw]
+
+
+def main():
+    import jax
+
+    from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit
+
+    clouds = load_clouds()
+    pairs = list(zip(clouds[:-1], clouds[1:]))
+
+    # warmup / compile
+    for f, m in pairs:
+        jax.block_until_ready(align_jit(MATLAB_PARAMS, f, m).tf)
+
+    rounds = 5
+    t0 = time.perf_counter()
+    iters = []
+    for _ in range(rounds):
+        for f, m in pairs:
+            res = align_jit(MATLAB_PARAMS, f, m)
+            jax.block_until_ready(res.tf)
+            iters.append(int(res.iterations))
+    dt = time.perf_counter() - t0
+
+    n = rounds * len(pairs)
+    per_pair = dt / n
+    fps = 1.0 / per_pair
+    print(
+        json.dumps(
+            {
+                "metric": "fr1desk_pair_registration_rate",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps * MATLAB_MEAN_S_PER_PAIR, 2),
+                "detail": {
+                    "per_pair_ms": round(per_pair * 1e3, 3),
+                    "mean_iterations": round(float(np.mean(iters)), 1),
+                    "pairs": len(pairs),
+                    "rounds": rounds,
+                    "device": str(jax.devices()[0]),
+                    "baseline": "MATLAB CPU mean 7.954 s/pair "
+                    "(stored registration_time, fr1/desk)",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sharded/ring/batched
+align must agree with the single-device reference implementation."""
+
+import functools
+
+import jax
+import numpy as np
+import pytest
+
+from cvo_rgbd_tpu import AcvoParams, CvoParams, align_jit, pad_cloud, se3
+from cvo_rgbd_tpu.core.cloud import PointCloud
+from cvo_rgbd_tpu.parallel import align_batched, align_sharded, make_mesh
+from cvo_rgbd_tpu.parallel.sharded import align_ring
+
+
+def _pair(rng, n=96, cap=256):
+    base = rng.standard_normal((n + 30, 3)).astype(np.float32) * 0.4
+    feat = (rng.random((n + 30, 5)) * np.array([255, 255, 255, 60, 60])).astype(np.float32)
+    R = np.asarray(se3.exp_so3(np.array([0.01, -0.012, 0.008], np.float32)))
+    t = np.array([0.02, -0.01, 0.015], np.float32)
+    yp = (base[20:20 + n] @ R.T + t).astype(np.float32)
+    x = pad_cloud(base[:n], feat[:n], capacity=cap)
+    y = pad_cloud(yp, feat[20:20 + n], capacity=cap)
+    return x, y
+
+
+def test_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("params", [CvoParams(max_iter=40), AcvoParams(max_iter=40)])
+def test_align_sharded_matches_single(rng, params):
+    x, y = _pair(rng)
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(params, x, y)
+    got = jax.jit(
+        functools.partial(align_sharded, params, mesh), static_argnums=()
+    )(x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf), atol=2e-5)
+    assert abs(int(got.iterations) - int(ref.iterations)) <= 1
+
+
+def test_align_ring_matches_single(rng):
+    x, y = _pair(rng)
+    p = CvoParams(max_iter=40)
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(p, x, y)
+    got = jax.jit(functools.partial(align_ring, p, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf), atol=2e-5)
+    assert abs(int(got.iterations) - int(ref.iterations)) <= 1
+
+
+def test_align_sharded_deterministic(rng):
+    """Fixed mesh shape -> bitwise-identical psum results across runs
+    (the reduction-order concern from SURVEY.md section 5)."""
+    x, y = _pair(rng)
+    p = CvoParams(max_iter=25)
+    mesh = make_mesh({"sp": 8})
+    fn = jax.jit(functools.partial(align_sharded, p, mesh))
+    a = np.asarray(fn(x, y).tf)
+    b = np.asarray(fn(x, y).tf)
+    assert np.array_equal(a, b)
+
+
+def test_align_batched_matches_loop(rng):
+    p = CvoParams(max_iter=30)
+    pairs = [_pair(rng) for _ in range(4)]
+    fb = PointCloud(*(np.stack([np.asarray(getattr(x, f)) for x, _ in pairs])
+                      for f in ("positions", "features", "mask")))
+    mb = PointCloud(*(np.stack([np.asarray(getattr(y, f)) for _, y in pairs])
+                      for f in ("positions", "features", "mask")))
+    mesh = make_mesh({"dp": 4})
+    batched = align_batched(p, fb, mb, mesh=mesh)
+    for i, (x, y) in enumerate(pairs):
+        ref = align_jit(p, x, y)
+        np.testing.assert_allclose(
+            np.asarray(batched.tf)[i], np.asarray(ref.tf), atol=2e-5
+        )
+
+
+def test_mesh_helper():
+    m = make_mesh({"dp": 2, "sp": -1})
+    assert m.shape == {"dp": 2, "sp": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"sp": 16})
