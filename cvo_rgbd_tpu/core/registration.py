@@ -88,37 +88,79 @@ def _gram(p, x: PointCloud, y_pos, y_cloud: PointCloud, ell, ci):
 def make_align_step(p, adaptive: bool):
     """Build the per-iteration body shared by cvo/acvo align."""
 
+    use_pallas = getattr(p, "backend", "xla") == "pallas"
+    if use_pallas:
+        if p.color_mode != "se":
+            raise ValueError("pallas backend requires color_mode='se'")
+        if adaptive and p.yy_quirk:
+            raise ValueError("yy_quirk emulation requires backend='xla'")
+        from cvo_rgbd_tpu.ops import fused_flow, fused_step_coeffs
+        from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
+
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
              self_grams=None):
         tf_R, tf_T = se3.se3_inv(state.R, state.T)
         tf = se3.make_se3(tf_R, tf_T)
         y_pos = transform_cloud(tf_R, tf_T, moving.positions)
 
-        A = _gram(p, fixed, y_pos, moving, state.ell, ci)
-        omega, v = flow_mod.flow(A, fixed.positions, y_pos, c=p.c, d=p.d)
+        if use_pallas:
+            omega, v, wsq_xy, nnz_xy, _ = fused_flow(
+                fixed.positions, fixed.features, fixed.mask,
+                y_pos, moving.features, moving.mask, state.ell, p=p,
+            )
+            if adaptive:
+                # self-kernel reductions reuse the same fused pass
+                # (adaptive_cvo.cpp:156-160, 222-271)
+                _, _, wsq_xx, nnz_xx, _ = fused_flow(
+                    fixed.positions, fixed.features, fixed.mask,
+                    fixed.positions, fixed.features, fixed.mask,
+                    state.ell, p=p,
+                )
+                _, _, wsq_yy, nnz_yy, _ = fused_flow(
+                    y_pos, moving.features, moving.mask,
+                    y_pos, moving.features, moving.mask, state.ell, p=p,
+                )
+                ell3 = state.ell ** 3
+                numer = (wsq_yy - 2.0 * wsq_xy + wsq_xx) / ell3
+                denom = nnz_xx + nnz_yy - 2.0 * nnz_xy
+                denom = jnp.where(denom == 0, 1.0, denom)
+                dl = numer / denom
+            else:
+                dl = jnp.zeros((), jnp.float32)
 
-        if adaptive:
-            # self-kernels Axy/Axx/Ayy (adaptive_cvo.cpp:156-160); Axx is
-            # iteration-dependent only through ell; Ayy moves with y.
-            Axx = _gram(p, fixed, fixed.positions, fixed, state.ell, ci)
-            Ayy = gram_mod.se_gram(
+            B, C, D, E = fused_step_coeffs(
+                fixed.positions, fixed.features, fixed.mask,
                 y_pos, moving.features, moving.mask,
-                y_pos, moving.features, moving.mask,
-                state.ell,
-                sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
-                sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+                state.ell, omega, v, p=p,
             )
-            dl = flow_mod.adaptive_dl(
-                A, Axx, Ayy, fixed.positions, y_pos, state.ell,
-                num_fixed=fixed.num_valid(), yy_quirk=p.yy_quirk,
-            )
+            roots, valid = cubic_roots(4.0 * E, 3.0 * D, 2.0 * C, B)
+            step = min_positive_root(roots, valid, p.min_step, p.max_step)
         else:
-            dl = jnp.zeros((), jnp.float32)
+            A = _gram(p, fixed, y_pos, moving, state.ell, ci)
+            omega, v = flow_mod.flow(A, fixed.positions, y_pos, c=p.c, d=p.d)
 
-        step = step_size(
-            A, fixed.positions, y_pos, omega, v, state.ell,
-            min_step=p.min_step, max_step=p.max_step,
-        )
+            if adaptive:
+                # self-kernels Axy/Axx/Ayy (adaptive_cvo.cpp:156-160); Axx is
+                # iteration-dependent only through ell; Ayy moves with y.
+                Axx = _gram(p, fixed, fixed.positions, fixed, state.ell, ci)
+                Ayy = gram_mod.se_gram(
+                    y_pos, moving.features, moving.mask,
+                    y_pos, moving.features, moving.mask,
+                    state.ell,
+                    sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+                    sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+                )
+                dl = flow_mod.adaptive_dl(
+                    A, Axx, Ayy, fixed.positions, y_pos, state.ell,
+                    num_fixed=fixed.num_valid(), yy_quirk=p.yy_quirk,
+                )
+            else:
+                dl = jnp.zeros((), jnp.float32)
+
+            step = step_size(
+                A, fixed.positions, y_pos, omega, v, state.ell,
+                min_step=p.min_step, max_step=p.max_step,
+            )
 
         # stop 1: flow norm, BEFORE the update (cvo.cpp:380)
         stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)

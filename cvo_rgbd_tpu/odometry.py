@@ -73,6 +73,44 @@ def load_image_pair(folder, entry):
     return rgb, dep
 
 
+def make_frame_source(folder, entries, start, use_native=True):
+    """Yield (index, rgb f32, depth f32) from `start`.
+
+    Uses the native threaded prefetch loader (cvo_rgbd_tpu.native) when
+    the toolchain is available — PNG read+decode of upcoming frames
+    overlaps with device compute — else falls back to synchronous PIL.
+    """
+    if use_native:
+        try:
+            from cvo_rgbd_tpu import native
+
+            if native.get_lib() is not None:
+                rgb0, dep0 = load_image_pair(folder, entries[start])
+                loader = native.PrefetchLoader(
+                    [os.path.join(folder, e.rgb_path) for e in entries[start:]],
+                    [os.path.join(folder, e.depth_path) for e in entries[start:]],
+                    rgb0.shape[1], rgb0.shape[0],
+                    dep0.shape[1], dep0.shape[0],
+                    workers=2, ahead=8,
+                )
+
+                def gen():
+                    for off, rgb, dep in loader:
+                        yield start + off, rgb.astype(np.float32), dep.astype(np.float32)
+                    loader.close()
+
+                return gen()
+        except Exception:
+            pass  # fall back to PIL below
+
+    def gen_pil():
+        for i in range(start, len(entries)):
+            rgb, dep = load_image_pair(folder, entries[i])
+            yield i, rgb, dep
+
+    return gen_pil()
+
+
 def run_odometry(
     folder,
     dataset_seq,
@@ -82,6 +120,7 @@ def run_odometry(
     max_frames=None,
     checkpoint=None,
     num_want=3000,
+    use_native=True,
     log=print,
 ):
     """Run the full odometry loop.  Returns list[FrameRecord].
@@ -114,10 +153,10 @@ def run_odometry(
     start = max(state.frame_index - 1, 0)
     total_t0 = time.time()
 
+    frames = make_frame_source(folder, entries, start, use_native=use_native)
     with open(output, mode) as traj:
-        for i in range(start, len(entries)):
+        for i, rgb, dep in frames:
             t0 = time.time()
-            rgb, dep = load_image_pair(folder, entries[i])
             cloud = frontend(rgb, dep)
 
             if fixed_cloud is None:

@@ -38,6 +38,9 @@ class CvoParams:
     # each iteration (cvo.cpp:143-153); "linear" = MATLAB's linear color
     # inner product, precomputed once (rkhs_se3_registration.m:40-53).
     color_mode: str = "se"
+    # compute backend for the inner loop: "xla" (dense masked Gram in
+    # HBM) or "pallas" (fused tile kernels, Gram never materialized).
+    backend: str = "xla"
 
     @property
     def c_sp_thres(self) -> float:
@@ -72,6 +75,7 @@ class AcvoParams:
     # they never contribute to the dl numerator.  False = correct math,
     # True = bit-faithful emulation.
     yy_quirk: bool = False
+    backend: str = "xla"  # "xla" | "pallas" (yy_quirk needs "xla")
 
 
 # MATLAB prototype parameter set (rkhs_se3_registration.m:7-36): linear

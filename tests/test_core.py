@@ -228,3 +228,53 @@ def test_cubic_random_fuzz(rng):
         roots, valid = cubic.cubic_roots(*coef)
         got = [float(r) for r, ok in zip(np.asarray(roots), np.asarray(valid)) if ok]
         _check_roots(coef, got)
+
+
+def test_function_inner_product(rng):
+    """Mean kernel value over gated pairs (adaptive_cvo.cpp:385-439)."""
+    from cvo_rgbd_tpu.core.registration import function_inner_product
+
+    xp, xf, yp, yf = make_clouds(rng, n=40, m=40)
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    fip = float(function_inner_product(P, x, y))
+    # oracle: sum/count over gated pairs at ell_init, color gate uses
+    # sp_thres (not c_sp_thres) per the reference
+    A = se_kernel_oracle(
+        xp.astype(np.float64), xf.astype(np.float64),
+        yp.astype(np.float64), yf.astype(np.float64),
+        P.ell_init, P.sigma, P.c_ell, P.c_sigma, P.sp_thres, P.sp_thres,
+    )
+    ref = A.sum() / max(np.count_nonzero(A), 1)
+    np.testing.assert_allclose(fip, ref, rtol=1e-4)
+    # self inner product is larger than cross (keyframe-selection signal)
+    self_fip = float(function_inner_product(P, x, x))
+    assert self_fip >= fip
+
+
+def test_align_trace(rng):
+    """Structured per-iteration records match the align result."""
+    from cvo_rgbd_tpu import CvoParams, align_jit
+    from cvo_rgbd_tpu.core.trace import align_trace
+
+    xp, xf, yp, yf = make_clouds(rng, n=80, m=80, feat_scale=255.0)
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    p = CvoParams(max_iter=60)
+    res = align_jit(p, x, y)
+    final, recs = align_trace(p, x, y, 60)
+    # trace endpoint agrees with align
+    np.testing.assert_allclose(
+        np.asarray(final.R), np.asarray(res.R), atol=1e-5
+    )
+    conv = np.asarray(recs.converged)
+    if bool(res.converged):
+        k = int(res.iterations)
+        assert conv[k]           # converged at the reported iteration
+        assert not conv[:k].any()
+        # frozen after convergence
+        assert conv[k:].all()
+    assert np.isfinite(np.asarray(recs.omega_norm)).all()
+    # ell follows the schedule
+    ells = np.asarray(recs.ell)
+    assert ells[0] <= p.ell_init

@@ -1,0 +1,53 @@
+"""Keyframe selection tests."""
+
+import numpy as np
+
+from cvo_rgbd_tpu import AcvoParams, pad_cloud
+from cvo_rgbd_tpu.keyframes import KeyframePolicy, KeyframeSelector, keyframe_score
+
+P = AcvoParams()
+
+
+def _cloud(rng, offset=0.0, n=60):
+    pos = rng.standard_normal((n, 3)).astype(np.float32) * 0.4
+    pos[:, 0] += offset
+    feat = rng.random((n, 5)).astype(np.float32) * 0.5
+    return pad_cloud(pos, feat)
+
+
+def test_score_self_is_one(rng):
+    c = _cloud(rng)
+    assert abs(keyframe_score(P, c, c) - 1.0) < 1e-5
+
+
+def test_score_decreases_with_offset(rng):
+    base = np.random.default_rng(3)
+    c0 = _cloud(base)
+    scores = []
+    for off in [0.0, 0.05, 0.2]:
+        b2 = np.random.default_rng(3)
+        scores.append(keyframe_score(P, c0, _cloud(b2, offset=off)))
+    assert scores[0] > scores[1] >= scores[2] - 1e-6
+
+
+def test_selector_promotes_on_low_overlap(rng):
+    sel = KeyframeSelector(P, KeyframePolicy(threshold=0.9, max_span=100))
+    base = np.random.default_rng(5)
+    c0 = _cloud(base)
+    new, s = sel.update(0, c0)
+    assert new and sel.key_index == 0
+    # same cloud: no promotion
+    new, s = sel.update(1, c0)
+    assert not new
+    # far-away cloud: promotion
+    far = np.random.default_rng(5)
+    new, s = sel.update(2, _cloud(far, offset=1.0))
+    assert new and sel.key_index == 2
+
+
+def test_selector_max_span(rng):
+    sel = KeyframeSelector(P, KeyframePolicy(threshold=0.0, max_span=2))
+    c = _cloud(rng)
+    sel.update(0, c)
+    assert not sel.update(1, c)[0]
+    assert sel.update(2, c)[0]  # forced by span

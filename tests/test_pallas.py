@@ -1,0 +1,121 @@
+"""Pallas fused-kernel tests (interpret mode on CPU) vs the XLA path."""
+
+import numpy as np
+import pytest
+
+from cvo_rgbd_tpu import AcvoParams, CvoParams, pad_cloud, se3
+from cvo_rgbd_tpu.core import flow as flow_mod
+from cvo_rgbd_tpu.core import gram as gram_mod
+from cvo_rgbd_tpu.core.step import step_coefficients
+from cvo_rgbd_tpu.ops import fused_flow, fused_step_coeffs
+
+CAP = 256  # one TILE
+P = CvoParams()
+
+
+def _pair(rng, n=200, cap=CAP):
+    base = rng.standard_normal((n + 30, 3)).astype(np.float32) * 0.4
+    feat = (rng.random((n + 30, 5)) * np.array([255, 255, 255, 60, 60])).astype(np.float32)
+    R = np.asarray(se3.exp_so3(np.array([0.01, -0.012, 0.008], np.float32)))
+    t = np.array([0.02, -0.01, 0.015], np.float32)
+    yp = (base[20:20 + n] @ R.T + t).astype(np.float32)
+    x = pad_cloud(base[:n], feat[:n], capacity=cap)
+    y = pad_cloud(yp, feat[20:20 + n], capacity=cap)
+    return x, y
+
+
+def _xla_reference(p, x, y, ell):
+    A = gram_mod.se_gram(
+        x.positions, x.features, x.mask, y.positions, y.features, y.mask,
+        ell, sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+    )
+    om, v = flow_mod.flow(A, x.positions, y.positions, c=p.c, d=p.d)
+    wsq = flow_mod.weighted_sqdist_sum(A, x.positions, y.positions)
+    return A, om, v, wsq, flow_mod.nnz(A)
+
+
+@pytest.mark.parametrize("cap", [256, 512])
+def test_fused_flow_matches_xla(rng, cap):
+    x, y = _pair(rng, n=cap - 40, cap=cap)
+    ell = 0.1
+    A, om_ref, v_ref, wsq_ref, nnz_ref = _xla_reference(P, x, y, ell)
+    om, v, wsq, nnz, sA = fused_flow(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask, ell, p=P, interpret=True,
+    )
+    # tile-order fp32 accumulation differs from XLA's reduction order
+    scale = max(float(np.linalg.norm(np.asarray(om_ref))), 1e-8)
+    np.testing.assert_allclose(np.asarray(om), np.asarray(om_ref), rtol=1e-3, atol=1e-4 * scale)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(float(wsq), float(wsq_ref), rtol=1e-3)
+    assert int(nnz) == int(nnz_ref)
+    np.testing.assert_allclose(float(sA), float(np.sum(np.asarray(A))), rtol=1e-4)
+
+
+def test_fused_step_matches_xla(rng):
+    x, y = _pair(rng)
+    ell = 0.1
+    A, om, v, _, _ = _xla_reference(P, x, y, ell)
+    B_r, C_r, D_r, E_r = step_coefficients(
+        A, x.positions, y.positions, om, v, ell
+    )
+    B, C, D, E = fused_step_coeffs(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask, ell, om, v, p=P, interpret=True,
+    )
+    for got, ref in [(B, B_r), (C, C_r), (D, D_r), (E, E_r)]:
+        np.testing.assert_allclose(float(got), float(ref), rtol=2e-3, atol=1e-6)
+
+
+def test_fused_flow_masks_padding(rng):
+    """Padding rows contribute nothing."""
+    x, y = _pair(rng, n=100, cap=256)
+    om1, v1, *_ = fused_flow(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask, 0.1, p=P, interpret=True,
+    )
+    # poison the padded region; results must be unchanged
+    import jax.numpy as jnp
+    xp2 = np.asarray(x.positions).copy()
+    xp2[100:] = 7.7
+    om2, v2, *_ = fused_flow(
+        jnp.asarray(xp2), x.features, x.mask,
+        y.positions, y.features, y.mask, 0.1, p=P, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(om1), np.asarray(om2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+def test_capacity_validation(rng):
+    x, y = _pair(rng, n=100, cap=256)
+    with pytest.raises(ValueError):
+        fused_flow(
+            x.positions[:100], x.features[:100], x.mask[:100],
+            y.positions, y.features, y.mask, 0.1, p=P, interpret=True,
+        )
+
+
+def test_align_pallas_backend_matches_xla(rng):
+    """Full align loop with backend='pallas' vs backend='xla'."""
+    from cvo_rgbd_tpu import align_jit
+
+    x, y = _pair(rng)
+    ref = align_jit(CvoParams(max_iter=40), x, y)
+    got = align_jit(CvoParams(max_iter=40, backend="pallas"), x, y)
+    np.testing.assert_allclose(
+        np.asarray(got.tf), np.asarray(ref.tf), atol=5e-5
+    )
+    assert abs(int(got.iterations) - int(ref.iterations)) <= 1
+
+
+def test_align_pallas_adaptive_matches_xla(rng):
+    from cvo_rgbd_tpu import align_jit
+
+    x, y = _pair(rng)
+    ref = align_jit(AcvoParams(max_iter=30), x, y)
+    got = align_jit(AcvoParams(max_iter=30, backend="pallas"), x, y)
+    np.testing.assert_allclose(
+        np.asarray(got.tf), np.asarray(ref.tf), atol=5e-5
+    )
+    assert abs(int(got.iterations) - int(ref.iterations)) <= 1
