@@ -1,0 +1,92 @@
+"""Batch pairwise registration over a directory of point-cloud files.
+
+Re-implements the MATLAB batch runner `rgbddataset_rkhs.m`: sequential
+pairwise registration over a `pcd_ds/` directory with range filter
+[0.8, 4] m + grid downsample (rgbddataset_rkhs.m:34-47), per-frame
+try/catch storing NaN on failure (rgbddataset_rkhs.m:49-81), results +
+per-pair registration_time saved to a timestamped npz
+(rgbddataset_rkhs.m:87-88 saves a .mat).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit, pad_cloud
+from cvo_rgbd_tpu.core.cloud import round_up
+from cvo_rgbd_tpu.io.pcd import read_pcd
+from cvo_rgbd_tpu.utils import grid_downsample, range_filter
+
+
+def load_pcd_dir(directory, rmin=0.8, rmax=4.0, grid=0.05):
+    """Load + preprocess all .pcd files, sorted by name (timestamp)."""
+    paths = sorted(glob.glob(os.path.join(directory, "*.pcd")))
+    clouds = []
+    for p in paths:
+        d = read_pcd(p)
+        pos, col = d["positions"], d.get("colors")
+        if col is None:
+            col = np.zeros_like(pos)
+        pos, col = range_filter(pos, col, rmin, rmax)
+        pos, col = grid_downsample(pos, col, grid)
+        clouds.append((os.path.basename(p), pos, col * 255.0))
+    return clouds
+
+
+def run_batch(
+    directory,
+    params=None,
+    rmin=0.8,
+    rmax=4.0,
+    grid=0.05,
+    output=None,
+    log=print,
+):
+    """Pairwise registration over the directory.
+
+    Returns (results [n,4,4] with NaN rows on failure,
+    registration_time [n-1]).  results[0] is identity; results[i] is
+    the relative transform frame i-1 -> frame i, matching the MATLAB
+    runner's per-pair affine3d array.
+    """
+    params = params or MATLAB_PARAMS
+    clouds = load_pcd_dir(directory, rmin, rmax, grid)
+    if len(clouds) < 2:
+        raise ValueError(f"need >= 2 .pcd files in {directory}")
+    cap = round_up(max(c[1].shape[0] for c in clouds))
+    padded = [pad_cloud(p, c, capacity=cap) for _, p, c in clouds]
+
+    n = len(clouds)
+    results = np.full((n, 4, 4), np.nan)
+    results[0] = np.eye(4)
+    times = np.zeros(n - 1)
+    for i in range(1, n):
+        t0 = time.perf_counter()
+        try:
+            res = align_jit(params, padded[i - 1], padded[i])
+            tf = np.asarray(res.tf)
+            if not np.isfinite(tf).all():
+                raise FloatingPointError("non-finite transform")
+            results[i] = tf
+            status = f"iters={int(res.iterations)}"
+        except Exception as e:  # skip-and-mark (rgbddataset_rkhs.m:75-80)
+            status = f"FAILED ({e})"
+        times[i - 1] = time.perf_counter() - t0
+        log(f"pair {i - 1}->{i} ({clouds[i][0]}): {status} "
+            f"t={times[i - 1] * 1e3:.1f}ms")
+
+    if output is None:
+        stamp = time.strftime("%d-%b-%Y-%H-%M-%S")
+        output = os.path.join(directory, f"cvo_batch_{stamp}.npz")
+    np.savez(
+        output,
+        results=results,
+        registration_time=times,
+        names=[c[0] for c in clouds],
+    )
+    log(f"saved {output}")
+    return results, times

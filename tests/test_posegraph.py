@@ -1,0 +1,82 @@
+"""Pose-graph optimization tests: loop closure pulls drifted odometry
+back to ground truth."""
+
+import numpy as np
+
+from cvo_rgbd_tpu import se3
+from cvo_rgbd_tpu.core.posegraph import (
+    from_odometry,
+    graph_cost,
+    optimize,
+)
+
+
+def _se3(w, t):
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.asarray(se3.exp_so3(np.asarray(w, np.float32)))
+    T[:3, 3] = t
+    return T
+
+
+def test_consistent_graph_zero_cost(rng):
+    """Odometry edges built from the poses themselves: cost 0, optimize
+    is a no-op."""
+    poses = [np.eye(4, dtype=np.float32)]
+    for k in range(5):
+        poses.append(poses[-1] @ _se3([0.01, 0, 0.02], [0.1, 0, 0]))
+    g = from_odometry(np.stack(poses))
+    assert float(graph_cost(g)) < 1e-10
+    nodes, costs = optimize(g, iters=3)
+    np.testing.assert_allclose(np.asarray(nodes), np.stack(poses), atol=1e-4)
+
+
+def test_loop_closure_corrects_drift(rng):
+    """Square loop with per-step drift; a loop-closure edge to the start
+    redistributes the error."""
+    # ground truth: walk a square, return to start
+    gt = [np.eye(4, dtype=np.float32)]
+    steps = (
+        [_se3([0, 0, 0], [1, 0, 0])] * 2
+        + [_se3([0, 0, np.pi / 2], [1, 0, 0])]
+        + [_se3([0, 0, 0], [1, 0, 0])]
+        + [_se3([0, 0, np.pi / 2], [1, 0, 0])]
+        + [_se3([0, 0, 0], [1, 0, 0])]
+        + [_se3([0, 0, np.pi / 2], [1, 0, 0])]
+        + [_se3([0, 0, 0], [1, 0, 0])]
+    )
+    for s in steps:
+        gt.append(gt[-1] @ s)
+    gt = np.stack(gt)
+
+    # drifted odometry: each measured step slightly wrong
+    drift = _se3([0, 0, 0.02], [0.03, 0.01, 0])
+    noisy = [gt[0]]
+    for s in steps:
+        noisy.append(noisy[-1] @ s @ drift)
+    noisy = np.stack(noisy)
+    start_err = np.linalg.norm(noisy[-1][:3, 3] - gt[-1][:3, 3])
+    assert start_err > 0.1  # drift is visible
+
+    # loop closure: final pose observes the true relative pose to node 0
+    z_loop = np.linalg.inv(gt[0]) @ gt[-1]
+    g = from_odometry(noisy, loop_edges=[(0, len(gt) - 1, z_loop, 10.0)])
+    nodes, costs = optimize(g, iters=15)
+    nodes = np.asarray(nodes)
+
+    end_err = np.linalg.norm(nodes[-1][:3, 3] - gt[-1][:3, 3])
+    assert end_err < 0.05, (start_err, end_err)
+    # cost decreases monotonically-ish and substantially
+    assert float(costs[-1]) < 0.1 * float(costs[0])
+    # intermediate nodes also improve
+    mid_err_before = np.linalg.norm(noisy[4][:3, 3] - gt[4][:3, 3])
+    mid_err_after = np.linalg.norm(nodes[4][:3, 3] - gt[4][:3, 3])
+    assert mid_err_after < mid_err_before
+
+
+def test_gauge_fixed(rng):
+    poses = [np.eye(4, dtype=np.float32)]
+    for k in range(4):
+        poses.append(poses[-1] @ _se3([0, 0.01, 0], [0.2, 0, 0.05]))
+    g = from_odometry(np.stack(poses))
+    nodes, _ = optimize(g, iters=5)
+    np.testing.assert_allclose(np.asarray(nodes)[0], np.eye(4), atol=1e-4)
