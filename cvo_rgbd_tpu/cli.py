@@ -15,17 +15,52 @@ import sys
 
 def _cmd_run(args):
     from cvo_rgbd_tpu.odometry import run_odometry
+    from cvo_rgbd_tpu.params import AcvoParams, CvoParams
 
     seq = int(args.seq) if args.seq.isdigit() else args.seq
+    params = None
+    if args.backend != "xla":
+        cls = AcvoParams if args.adaptive else CvoParams
+        params = cls(backend=args.backend)
     run_odometry(
         args.folder,
         seq,
         adaptive=args.adaptive,
+        params=params,
         output=args.output,
         max_frames=args.max_frames,
         checkpoint=args.checkpoint,
         num_want=args.num_want,
+        use_native=not args.no_native_io,
     )
+
+
+def _cmd_batch(args):
+    from cvo_rgbd_tpu.batch import run_batch
+
+    run_batch(args.directory, grid=args.grid, output=args.output)
+
+
+def _cmd_stitch(args):
+    import numpy as np
+
+    from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit, pad_cloud
+    from cvo_rgbd_tpu.batch import load_pcd_dir
+    from cvo_rgbd_tpu.core.cloud import round_up
+    from cvo_rgbd_tpu.io.export import merge_clouds, transform_points, write_ply
+
+    clouds = load_pcd_dir(args.directory, grid=args.grid)
+    cap = round_up(max(c[1].shape[0] for c in clouds))
+    padded = [pad_cloud(p, c, capacity=cap) for _, p, c in clouds]
+    accum = np.eye(4)
+    placed = [(clouds[0][1], clouds[0][2])]
+    for k in range(1, len(clouds)):
+        res = align_jit(MATLAB_PARAMS, padded[k - 1], padded[k])
+        accum = accum @ np.asarray(res.tf)
+        placed.append((transform_points(accum, clouds[k][1]), clouds[k][2]))
+    pos, col = merge_clouds(placed, grid=args.merge_grid)
+    write_ply(args.output, pos, col)
+    print(f"{pos.shape[0]} points -> {args.output}")
 
 
 def _cmd_ate(args):
@@ -78,7 +113,23 @@ def main(argv=None):
     pr.add_argument("--max-frames", type=int)
     pr.add_argument("--checkpoint")
     pr.add_argument("--num-want", type=int, default=3000)
+    pr.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    pr.add_argument("--no-native-io", action="store_true",
+                    help="disable the C++ prefetch loader")
     pr.set_defaults(fn=_cmd_run)
+
+    pb = sub.add_parser("batch", help="pairwise registration over a pcd dir")
+    pb.add_argument("directory")
+    pb.add_argument("--grid", type=float, default=0.05)
+    pb.add_argument("--output")
+    pb.set_defaults(fn=_cmd_batch)
+
+    pst = sub.add_parser("stitch", help="register + merge a pcd dir into a PLY scene")
+    pst.add_argument("directory")
+    pst.add_argument("--output", default="scene.ply")
+    pst.add_argument("--grid", type=float, default=0.05)
+    pst.add_argument("--merge-grid", type=float, default=0.01)
+    pst.set_defaults(fn=_cmd_stitch)
 
     pa = sub.add_parser("evaluate-ate", help="ATE RMSE of a trajectory")
     pa.add_argument("groundtruth")

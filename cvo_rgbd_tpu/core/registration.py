@@ -188,7 +188,7 @@ def make_align_step(p, adaptive: bool):
         # converged so diagnostics match
         ell_new = jnp.where(converged, state.ell, ell_new)
 
-        return AlignState(
+        new_state = AlignState(
             k=state.k + 1,
             R=R_new,
             T=T_new,
@@ -198,6 +198,14 @@ def make_align_step(p, adaptive: bool):
             converged=converged,
             omega=omega,
             v=v,
+        )
+        # Freeze everything once converged.  Under plain while_loop the
+        # body never runs with converged=True, but under vmap the loop
+        # continues until ALL batch lanes converge and converged lanes
+        # must not move.
+        return AlignState(
+            *(jnp.where(state.converged, old, new)
+              for old, new in zip(state, new_state))
         )
 
     return body

@@ -1,0 +1,101 @@
+"""Multi-sequence odometry: batch data parallelism over sequences.
+
+The reference processes one sequence at a time (cvo_main.cpp:36-66).
+For production throughput, S sequences advance in lockstep: each step
+registers S frame pairs as one `align_batched` call — vmapped on a
+single chip, sharded over the `dp` mesh axis on many (SURVEY.md
+section 2.6 "Batch DP").
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from cvo_rgbd_tpu.core.cloud import PointCloud
+from cvo_rgbd_tpu.frontend import make_frontend
+from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
+from cvo_rgbd_tpu.odometry import load_image_pair
+from cvo_rgbd_tpu.params import CvoParams
+from cvo_rgbd_tpu.parallel import align_batched
+
+
+def _stack(clouds):
+    return PointCloud(
+        *(np.stack([np.asarray(getattr(c, f)) for c in clouds])
+          for f in ("positions", "features", "mask"))
+    )
+
+
+def run_multiseq(
+    folders,
+    dataset_seq,
+    params=None,
+    num_want=3000,
+    max_frames=None,
+    mesh=None,
+    log=print,
+):
+    """Run odometry on several TUM folders in lockstep.
+
+    Returns {folder: trajectory_path}.  Sequences shorter than the
+    longest simply stop contributing (their last clouds are re-used as
+    no-op pairs and their trajectories stop growing).
+    """
+    params = params or CvoParams()
+    frontend = make_frontend(dataset_seq, num_want, 1)
+
+    seqs = []
+    for folder in folders:
+        entries = load_assoc(os.path.join(folder, "assoc.txt"))
+        if max_frames:
+            entries = entries[:max_frames]
+        seqs.append({"folder": folder, "entries": entries, "accum": np.eye(4)})
+    n_steps = max(len(s["entries"]) for s in seqs)
+
+    outs = {}
+    handles = []
+    for s in seqs:
+        path = os.path.join(s["folder"], "cvo_poses_qt_batch.txt")
+        outs[s["folder"]] = path
+        handles.append(open(path, "w"))
+
+    t0 = time.time()
+    pairs_done = 0
+    prev_clouds = None
+    try:
+        for step in range(n_steps):
+            clouds = []
+            for s in seqs:
+                idx = min(step, len(s["entries"]) - 1)
+                rgb, dep = load_image_pair(s["folder"], s["entries"][idx])
+                clouds.append(frontend(rgb, dep))
+            if prev_clouds is not None:
+                res = align_batched(params, _stack(prev_clouds), _stack(clouds),
+                                    mesh=mesh)
+                tfs = np.asarray(res.tf)
+                for si, s in enumerate(seqs):
+                    if step < len(s["entries"]):
+                        s["accum"] = s["accum"] @ tfs[si]
+                        write_trajectory_line(
+                            handles[si], s["entries"][step].name, s["accum"]
+                        )
+                        pairs_done += 1
+            else:
+                for si, s in enumerate(seqs):
+                    write_trajectory_line(
+                        handles[si], s["entries"][0].name, s["accum"]
+                    )
+            prev_clouds = clouds
+            if step % 10 == 0:
+                log(f"step {step}/{n_steps}")
+    finally:
+        for h in handles:
+            h.close()
+    dt = time.time() - t0
+    if pairs_done:
+        log(f"{pairs_done} pairs across {len(seqs)} sequences in {dt:.1f}s "
+            f"({pairs_done / dt:.2f} pairs/s)")
+    return outs

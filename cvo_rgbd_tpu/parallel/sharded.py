@@ -105,10 +105,15 @@ def _integrate(p, state, omega, v, step, adaptive, dl):
         ell_new = _schedule_ell(state.ell, state.k, p.ell_sched)
         ell_max_new = state.ell_max
     ell_new = jnp.where(converged, state.ell, ell_new)
-    return AlignState(
+    new_state = AlignState(
         k=state.k + 1, R=R_new, T=T_new, ell=ell_new,
         ell_max=ell_max_new, tf=state.tf, converged=converged,
         omega=omega, v=v,
+    )
+    # freeze once converged (vmap lanes keep running; see registration)
+    return AlignState(
+        *(jnp.where(state.converged, old, new)
+          for old, new in zip(state, new_state))
     )
 
 

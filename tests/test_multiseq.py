@@ -1,0 +1,39 @@
+"""Multi-sequence batched odometry: same trajectories as per-sequence runs."""
+
+import numpy as np
+
+from cvo_rgbd_tpu.io.tum import read_trajectory
+from cvo_rgbd_tpu.multiseq import run_multiseq
+from cvo_rgbd_tpu.odometry import run_odometry
+from cvo_rgbd_tpu.params import CvoParams
+
+from test_odometry import synth_dataset, NUM_WANT  # noqa: F401  (fixture)
+
+
+def test_multiseq_matches_single(synth_dataset, tmp_path):
+    p = CvoParams(max_iter=100)
+    # single-sequence reference
+    out_single = tmp_path / "single.txt"
+    run_odometry(str(synth_dataset), 1, params=p, num_want=NUM_WANT,
+                 output=str(out_single), log=lambda *a: None)
+
+    # the same folder twice, in lockstep batch
+    outs = run_multiseq([str(synth_dataset), str(synth_dataset)], 1,
+                        params=p, num_want=NUM_WANT, log=lambda *a: None)
+    single = read_trajectory(out_single)
+    for path in set(outs.values()):
+        batched = read_trajectory(path)
+        assert set(batched) == set(single)
+        # vmap changes fp32 reduction order; near knife-edge stopping
+        # thresholds the iteration count (and thus the pose) drifts a
+        # little.  Require trajectory-level agreement, not bit parity.
+        for t in single:
+            np.testing.assert_allclose(batched[t], single[t], atol=5e-3)
+
+    # and the batched trajectory is as accurate as the single one
+    from cvo_rgbd_tpu.evaluation import ate_rmse
+
+    gt = read_trajectory(synth_dataset / "groundtruth.txt")
+    ate_b = ate_rmse(gt, read_trajectory(path))["rmse"]
+    ate_s = ate_rmse(gt, single)["rmse"]
+    assert ate_b < max(2 * ate_s, 0.012)
