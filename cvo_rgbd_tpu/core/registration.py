@@ -157,10 +157,24 @@ def make_align_step(p, adaptive: bool):
             else:
                 dl = jnp.zeros((), jnp.float32)
 
-            step = step_size(
-                A, fixed.positions, y_pos, omega, v, state.ell,
-                min_step=p.min_step, max_step=p.max_step,
-            )
+            if getattr(p, "step_mode", "factored") == "factored":
+                from cvo_rgbd_tpu.core.cubic import (
+                    cubic_roots as _roots, min_positive_root as _minroot,
+                )
+                from cvo_rgbd_tpu.core.step_factored import (
+                    step_coefficients_factored,
+                )
+
+                B, C, D, E = step_coefficients_factored(
+                    A, fixed.positions, y_pos, omega, v, state.ell
+                )
+                r_, v_ = _roots(4.0 * E, 3.0 * D, 2.0 * C, B)
+                step = _minroot(r_, v_, p.min_step, p.max_step)
+            else:
+                step = step_size(
+                    A, fixed.positions, y_pos, omega, v, state.ell,
+                    min_step=p.min_step, max_step=p.max_step,
+                )
 
         # stop 1: flow norm, BEFORE the update (cvo.cpp:380)
         stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)

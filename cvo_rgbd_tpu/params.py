@@ -41,6 +41,10 @@ class CvoParams:
     # compute backend for the inner loop: "xla" (dense masked Gram in
     # HBM) or "pallas" (fused tile kernels, Gram never materialized).
     backend: str = "xla"
+    # line-search reduction: "factored" = moment-factored single matmul
+    # (no [N,M] intermediates, centered for fp32 stability); "direct" =
+    # literal per-pair field evaluation (cvo.cpp:249-289).
+    step_mode: str = "factored"
 
     @property
     def c_sp_thres(self) -> float:
@@ -76,6 +80,7 @@ class AcvoParams:
     # True = bit-faithful emulation.
     yy_quirk: bool = False
     backend: str = "xla"  # "xla" | "pallas" (yy_quirk needs "xla")
+    step_mode: str = "factored"  # see CvoParams.step_mode
 
 
 # MATLAB prototype parameter set (rkhs_se3_registration.m:7-36): linear

@@ -278,3 +278,23 @@ def test_align_trace(rng):
     # ell follows the schedule
     ells = np.asarray(recs.ell)
     assert ells[0] <= p.ell_init
+
+
+def test_step_factored_matches_direct(rng):
+    """Moment-factored line-search coefficients vs the direct path."""
+    from cvo_rgbd_tpu.core.step_factored import step_coefficients_factored
+    from cvo_rgbd_tpu.core import gram as gram_mod
+
+    xp, xf, yp, yf = make_clouds(rng, n=120, m=120)
+    x = pad_cloud(xp, xf)
+    y = pad_cloud(yp, yf)
+    A = gram_mod.se_gram(
+        x.positions, x.features, x.mask, y.positions, y.features, y.mask,
+        0.1, **params_kwargs(P),
+    )
+    omega = np.array([0.02, -0.03, 0.01], np.float32)
+    v = np.array([0.05, 0.02, -0.04], np.float32)
+    ref = step.step_coefficients(A, x.positions, y.positions, omega, v, 0.1)
+    got = step_coefficients_factored(A, x.positions, y.positions, omega, v, 0.1)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(float(g), float(r), rtol=5e-3, atol=1e-4)
