@@ -13,6 +13,7 @@ import functools
 import jax
 
 from cvo_rgbd_tpu.core import AlignResult, PointCloud, align, pad_cloud
+from cvo_rgbd_tpu.core.registration import function_inner_product
 from cvo_rgbd_tpu.params import MATLAB_PARAMS, AcvoParams, CvoParams
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "align",
     "align_jit",
     "pad_cloud",
+    "function_inner_product",
     "CvoParams",
     "AcvoParams",
     "MATLAB_PARAMS",

@@ -121,6 +121,61 @@ def monomial_features(x):
     return jnp.stack(feats, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized polynomial algebra: dense [M,35] coefficient arrays with
+# multiplication-by-affine as ONE outer product + ONE static sparse
+# matmul.  The scalar Poly engine above emits ~90 tiny column fusions
+# per align iteration (each a separate TPU kernel launch); this form
+# lowers to ~2 kernels per product.
+# ---------------------------------------------------------------------------
+
+_AFFINE_MONOS = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)]
+
+
+def _product_map():
+    """[140, 35] 0/1 matrix scattering (mono_i, affine_a) -> mono.
+
+    Kept as a host numpy constant: caching a jnp array built inside a
+    trace would leak a tracer into later traces.
+    """
+    import numpy as _np
+
+    S = _np.zeros((NUM_MONO * 4, NUM_MONO), _np.float32)
+    for i, mono in enumerate(MONOMIALS):
+        for a, am in enumerate(_AFFINE_MONOS):
+            tgt = (mono[0] + am[0], mono[1] + am[1], mono[2] + am[2])
+            if sum(tgt) <= 4:
+                S[i * 4 + a, M_INDEX[tgt]] = 1.0
+    return S
+
+
+_PRODUCT_MAP_NP = _product_map()
+
+
+def _dense_affine(a, b):
+    """a [M], b [M,3] -> dense [M,35] polynomial a + b.x."""
+    m = a.shape[0]
+    out = jnp.zeros((m, NUM_MONO), jnp.float32)
+    out = out.at[:, M_INDEX[(0, 0, 0)]].set(a)
+    out = out.at[:, M_INDEX[(1, 0, 0)]].set(b[:, 0])
+    out = out.at[:, M_INDEX[(0, 1, 0)]].set(b[:, 1])
+    out = out.at[:, M_INDEX[(0, 0, 1)]].set(b[:, 2])
+    return out
+
+
+def _affine4(a, b):
+    """[M,4] compact affine coefficients [a, b0, b1, b2]."""
+    return jnp.stack([a, b[:, 0], b[:, 1], b[:, 2]], axis=1)
+
+
+def _mul_affine(P, Q4):
+    """P [M,35] (degree <= 3) times affine Q4 [M,4] -> [M,35]."""
+    m = P.shape[0]
+    outer = (P[:, :, None] * Q4[:, None, :]).reshape(m, NUM_MONO * 4)
+    return jnp.dot(outer, jnp.asarray(_PRODUCT_MAP_NP),
+                   preferred_element_type=jnp.float32, precision=_HI)
+
+
 def step_coefficients_factored(A, x_pos, y_pos, omega, v, ell):
     """B, C, D, E matching core.step.step_coefficients, via the
     moment-factored single-matmul reduction."""
@@ -158,36 +213,42 @@ def step_coefficients_factored(A, x_pos, y_pos, omega, v, ell):
     )
 
     tc = 1.0 / (2.0 * ell * ell)
-    # affine forms in x (see cvo.cpp:262-271):
-    beta = Poly.affine(2.0 * tc * jnp.sum(xiz * y_pos, -1), -2.0 * tc * xiz)
-    gamma = Poly.affine(
-        -tc * normxiz2 + 2.0 * tc * jnp.sum(xi2z * y_pos, -1),
-        -2.0 * tc * xi2z,
-    )
-    delta = Poly.affine(
-        2.0 * tc * xzx2 + 2.0 * tc * jnp.sum(xi3z * y_pos, -1),
-        -2.0 * tc * xi3z,
-    )
-    epsil = Poly.affine(
-        -tc * eps_const + 2.0 * tc * jnp.sum(xi4z * y_pos, -1),
-        -2.0 * tc * xi4z,
-    )
+    # affine forms in x (see cvo.cpp:262-271), as compact [M,4] vectors
+    b_a = 2.0 * tc * jnp.sum(xiz * y_pos, -1)
+    b_b = -2.0 * tc * xiz
+    g_a = -tc * normxiz2 + 2.0 * tc * jnp.sum(xi2z * y_pos, -1)
+    g_b = -2.0 * tc * xi2z
+    d_a = 2.0 * tc * xzx2 + 2.0 * tc * jnp.sum(xi3z * y_pos, -1)
+    d_b = -2.0 * tc * xi3z
+    e_a = -tc * eps_const + 2.0 * tc * jnp.sum(xi4z * y_pos, -1)
+    e_b = -2.0 * tc * xi4z
 
-    beta2 = beta * beta
+    beta4 = _affine4(b_a, b_b)
+    beta = _dense_affine(b_a, b_b)
+    gamma = _dense_affine(g_a, g_b)
+    delta = _dense_affine(d_a, d_b)
+    epsil = _dense_affine(e_a, e_b)
+
+    beta2 = _mul_affine(beta, beta4)            # deg 2
+    beta3 = _mul_affine(beta2, beta4)           # deg 3
+    beta4p = _mul_affine(beta3, beta4)          # deg 4
+    beta_gamma = _mul_affine(gamma, beta4)      # deg 2
+    beta2_gamma = _mul_affine(beta_gamma, beta4)  # deg 3
+    gamma2 = _mul_affine(gamma, _affine4(g_a, g_b))  # deg 2
+    beta_delta = _mul_affine(delta, beta4)      # deg 2
+
     P_B = beta
     P_C = gamma + 0.5 * beta2
-    P_D = delta + beta * gamma + (1.0 / 6.0) * (beta2 * beta)
+    P_D = delta + beta_gamma + (1.0 / 6.0) * beta3
     P_E = (
         epsil
-        + beta * delta
-        + 0.5 * (beta2 * gamma)
-        + 0.5 * (gamma * gamma)
-        + (1.0 / 24.0) * (beta2 * beta2)
+        + beta_delta
+        + 0.5 * beta2_gamma
+        + 0.5 * gamma2
+        + (1.0 / 24.0) * beta4p
     )
 
-    C_all = jnp.concatenate(
-        [P.coeffs(m) for P in (P_B, P_C, P_D, P_E)], axis=1
-    )  # [M, 140]
+    C_all = jnp.concatenate([P_B, P_C, P_D, P_E], axis=1)  # [M, 140]
     AC = jnp.dot(A, C_all, preferred_element_type=jnp.float32,
                  precision=_HI)  # [N, 140] — the only big op
     phi = monomial_features(x_pos)  # [N, 35]

@@ -1,0 +1,43 @@
+"""CLI argument parsing and evaluation subcommand smoke tests."""
+
+import numpy as np
+import pytest
+
+from cvo_rgbd_tpu import cli
+
+
+def test_help_lists_subcommands(capsys):
+    with pytest.raises(SystemExit):
+        cli.main(["--help"])
+    out = capsys.readouterr().out
+    for cmd in ["run", "batch", "stitch", "evaluate-ate", "evaluate-rpe", "associate"]:
+        assert cmd in out
+
+
+def test_evaluate_ate_cli(tmp_path, capsys):
+    gt = tmp_path / "gt.txt"
+    est = tmp_path / "est.txt"
+    lines = []
+    for i in range(10):
+        lines.append(f"{100 + i * 0.1:.6f} {0.01 * i:.6f} 0 0 0 0 0 1")
+    gt.write_text("\n".join(lines) + "\n")
+    est.write_text("\n".join(lines) + "\n")
+    cli.main(["evaluate-ate", str(gt), str(est)])
+    out = capsys.readouterr().out.strip()
+    assert float(out) < 1e-10
+
+
+def test_associate_cli(tmp_path, capsys):
+    a = tmp_path / "rgb.txt"
+    b = tmp_path / "depth.txt"
+    a.write_text("# rgb\n1.00 rgb/1.png\n2.00 rgb/2.png\n")
+    b.write_text("# depth\n1.01 depth/1.png\n2.015 depth/2.png\n")  # < 0.02 strictly
+    cli.main(["associate", str(a), str(b)])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    assert "rgb/1.png" in out[0] and "depth/1.png" in out[0]
+
+
+def test_unknown_command_errors():
+    with pytest.raises(SystemExit):
+        cli.main(["frobnicate"])
