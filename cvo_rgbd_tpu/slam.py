@@ -1,0 +1,135 @@
+"""Keyframe SLAM: keyframe odometry + loop closure + pose-graph
+optimization.
+
+The reference stops at frame-to-frame chaining (cvo.cpp:414).  This
+module composes the framework's pieces into the system the BASELINE
+north star asks for:
+
+- frames register against the current *keyframe* (drift accumulates
+  only across keyframe promotions, not every frame);
+- keyframe promotion uses the normalized function inner product
+  (keyframes.KeyframeSelector — the hook adaptive_cvo.cpp:385-439
+  defines but never wires);
+- new keyframes are scored against past keyframes; high-overlap,
+  non-adjacent pairs are registered and added as loop-closure edges;
+- the SE(3) pose graph (core.posegraph) redistributes the loop error.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cvo_rgbd_tpu import align_jit
+from cvo_rgbd_tpu.core.posegraph import PoseGraph, from_odometry, optimize
+from cvo_rgbd_tpu.keyframes import KeyframePolicy, KeyframeSelector, keyframe_score
+
+
+@dataclasses.dataclass
+class Keyframe:
+    index: int            # frame index in the input sequence
+    pose: np.ndarray      # [4,4] world pose (odometry estimate)
+    cloud: object         # PointCloud
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    keyframe: KeyframePolicy = dataclasses.field(default_factory=KeyframePolicy)
+    loop_min_separation: int = 3       # keyframes between loop candidates
+    loop_score_threshold: float = 0.5  # overlap needed to attempt closure
+    loop_edge_weight: float = 5.0
+    loop_max_correction_m: float = 0.5     # outlier gates on measured
+    loop_max_correction_rad: float = 0.5   # vs odometry prior
+    optimize_iters: int = 15
+
+
+class KeyframeSlam:
+    """Feed clouds with `process`; call `solve` for the optimized poses."""
+
+    def __init__(self, params, config: SlamConfig | None = None):
+        self.params = params
+        self.config = config or SlamConfig()
+        self.selector = KeyframeSelector(params, self.config.keyframe)
+        self.keyframes: list[Keyframe] = []
+        self.frame_poses: list[np.ndarray] = []   # per input frame
+        self.frame_keyframe: list[int] = []       # owning keyframe id
+        self.loop_edges: list[tuple] = []
+
+    def process(self, index, cloud):
+        """Register one frame; returns its (odometry) world pose."""
+        if not self.keyframes:
+            pose = np.eye(4)
+            self.keyframes.append(Keyframe(index, pose, cloud))
+            self.selector.update(index, cloud)
+            self.frame_poses.append(pose)
+            self.frame_keyframe.append(0)
+            return pose
+
+        key = self.keyframes[-1]
+        res = align_jit(self.params, key.cloud, cloud)
+        rel = np.asarray(res.tf)
+        if not np.isfinite(rel).all():
+            rel = np.eye(4)  # skip-and-mark
+        pose = key.pose @ rel
+        self.frame_poses.append(pose)
+        self.frame_keyframe.append(len(self.keyframes) - 1)
+
+        promoted, _ = self.selector.update(index, cloud)
+        if promoted:
+            kf = Keyframe(index, pose, cloud)
+            self.keyframes.append(kf)
+            self._try_loop_closure(len(self.keyframes) - 1)
+        return pose
+
+    def _try_loop_closure(self, kf_id):
+        cfg = self.config
+        kf = self.keyframes[kf_id]
+        best = None
+        for cand_id in range(kf_id - cfg.loop_min_separation):
+            cand = self.keyframes[cand_id]
+            score = keyframe_score(self.params, cand.cloud, kf.cloud)
+            if score >= cfg.loop_score_threshold and (
+                best is None or score > best[1]
+            ):
+                best = (cand_id, score)
+        if best is None:
+            return
+        cand_id, score = best
+        cand = self.keyframes[cand_id]
+
+        # initialize from the odometry prior: a cold start across a
+        # large offset converges to nearby local optima whose error
+        # then outweighs good odometry in the graph
+        prior = np.linalg.inv(cand.pose) @ kf.pose
+        R0 = prior[:3, :3].T.astype(np.float32)
+        T0 = (-prior[:3, :3].T @ prior[:3, 3]).astype(np.float32)
+        res = align_jit(self.params, cand.cloud, kf.cloud, R0, T0)
+        rel = np.asarray(res.tf)
+        if not (np.isfinite(rel).all() and bool(res.converged)):
+            return
+        # outlier gate: the measured relative pose must be within a
+        # plausible correction of the prior
+        delta = np.linalg.inv(prior) @ rel
+        dt = np.linalg.norm(delta[:3, 3])
+        ang = np.arccos(np.clip((np.trace(delta[:3, :3]) - 1) / 2, -1, 1))
+        if dt > cfg.loop_max_correction_m or ang > cfg.loop_max_correction_rad:
+            return
+        self.loop_edges.append((cand_id, kf_id, rel, cfg.loop_edge_weight))
+
+    def solve(self):
+        """Optimize the keyframe graph; returns per-frame corrected poses."""
+        kf_poses = np.stack([k.pose for k in self.keyframes])
+        if len(self.keyframes) < 2:
+            return list(self.frame_poses), kf_poses
+        graph = from_odometry(kf_poses, loop_edges=self.loop_edges)
+        nodes, _ = optimize(graph, iters=self.config.optimize_iters)
+        nodes = np.asarray(nodes)
+        # re-anchor every frame to its (corrected) keyframe
+        out = []
+        for pose, kf_id in zip(self.frame_poses, self.frame_keyframe):
+            correction = nodes[kf_id] @ np.linalg.inv(
+                self.keyframes[kf_id].pose
+            )
+            out.append(correction @ pose)
+        return out, nodes
