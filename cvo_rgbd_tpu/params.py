@@ -78,6 +78,14 @@ class AcvoParams:
     # Ayy rows i < num_fixed read a zero-initialized |diff_yy|^2 buffer, so
     # they never contribute to the dl numerator.  False = correct math,
     # True = bit-faithful emulation.
+    #
+    # Parity experiment (fr1/desk fixture pairs, round 1): with the
+    # quirk, dl loses Ayy's positive term and goes systematically
+    # negative, so ell collapses to the ell_min floor (0.0391) within a
+    # few iterations; correct math keeps ell adapting around 0.11-0.13.
+    # Both converge, translations agree to a few mm.  Correct math is
+    # the default; the quirk stays available for bit-level comparisons
+    # against the reference binaries.
     yy_quirk: bool = False
     backend: str = "xla"  # "xla" | "pallas" (yy_quirk needs "xla")
     step_mode: str = "factored"  # see CvoParams.step_mode
