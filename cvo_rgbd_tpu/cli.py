@@ -22,17 +22,28 @@ def _cmd_run(args):
     if args.backend != "xla":
         cls = AcvoParams if args.adaptive else CvoParams
         params = cls(backend=args.backend)
-    run_odometry(
-        args.folder,
-        seq,
-        adaptive=args.adaptive,
-        params=params,
-        output=args.output,
-        max_frames=args.max_frames,
-        checkpoint=args.checkpoint,
-        num_want=args.num_want,
-        use_native=not args.no_native_io,
-    )
+    if args.batch > 1:
+        if args.adaptive or args.checkpoint:
+            raise SystemExit("--batch supports the cvo variant without checkpointing")
+        from cvo_rgbd_tpu.odometry import run_odometry_batched
+
+        run_odometry_batched(
+            args.folder, seq, params=params, output=args.output,
+            max_frames=args.max_frames, num_want=args.num_want,
+            batch=args.batch, use_native=not args.no_native_io,
+        )
+    else:
+        run_odometry(
+            args.folder,
+            seq,
+            adaptive=args.adaptive,
+            params=params,
+            output=args.output,
+            max_frames=args.max_frames,
+            checkpoint=args.checkpoint,
+            num_want=args.num_want,
+            use_native=not args.no_native_io,
+        )
 
 
 def _cmd_batch(args):
@@ -116,6 +127,8 @@ def main(argv=None):
     pr.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     pr.add_argument("--no-native-io", action="store_true",
                     help="disable the C++ prefetch loader")
+    pr.add_argument("--batch", type=int, default=1,
+                    help="register this many pairs per device step (offline mode)")
     pr.set_defaults(fn=_cmd_run)
 
     pb = sub.add_parser("batch", help="pairwise registration over a pcd dir")

@@ -206,3 +206,85 @@ def run_odometry(
             f"({n / total:.2f} frames/s)"
         )
     return records
+
+
+def run_odometry_batched(
+    folder,
+    dataset_seq,
+    params=None,
+    output=None,
+    max_frames=None,
+    num_want=3000,
+    batch=8,
+    use_native=True,
+    log=print,
+):
+    """Offline odometry with batched pair registration.
+
+    Frame-to-frame *pairs* are independent even though the accumulated
+    pose chain is sequential, so an offline trajectory can register
+    `batch` pairs per device step (`parallel.align_batched`) and chain
+    the results afterwards — amortizing per-call overhead and, on a
+    mesh, sharding pairs over the `dp` axis.  Returns list[FrameRecord].
+    """
+    from cvo_rgbd_tpu.core.cloud import PointCloud
+    from cvo_rgbd_tpu.parallel import align_batched
+
+    params = params or CvoParams()
+    frontend = make_frontend(dataset_seq, num_want, 1)
+    entries = load_assoc(os.path.join(folder, "assoc.txt"))
+    if max_frames:
+        entries = entries[:max_frames]
+    if output is None:
+        output = os.path.join(folder, "cvo_poses_qt.txt")
+    if len(entries) < 2:
+        raise ValueError("need at least 2 frames")
+
+    total_t0 = time.time()
+    clouds = []
+    for i, rgb, dep in make_frame_source(folder, entries, 0, use_native):
+        clouds.append(frontend(rgb, dep))
+    n_pairs = len(clouds) - 1
+
+    def stack(items):
+        return PointCloud(
+            *(np.stack([np.asarray(getattr(c, f)) for c in items])
+              for f in ("positions", "features", "mask"))
+        )
+
+    rels = []
+    iters = []
+    conv = []
+    for start in range(0, n_pairs, batch):
+        idxs = list(range(start, min(start + batch, n_pairs)))
+        pad = idxs + [idxs[-1]] * (batch - len(idxs))  # repeat-pad last chunk
+        fb = stack([clouds[i] for i in pad])
+        mb = stack([clouds[i + 1] for i in pad])
+        res = align_batched(params, fb, mb)
+        tfs = np.asarray(res.tf)
+        its = np.asarray(res.iterations)
+        cvg = np.asarray(res.converged)
+        for k, i in enumerate(idxs):
+            rels.append(tfs[k])
+            iters.append(int(its[k]))
+            conv.append(bool(cvg[k]))
+        log(f"pairs {idxs[0]}..{idxs[-1]} registered")
+
+    records = []
+    accum = np.eye(4)
+    with open(output, "w") as traj:
+        write_trajectory_line(traj, entries[0].name, accum)
+        for i, rel in enumerate(rels):
+            failed = not bool(np.isfinite(rel).all())
+            if not failed:
+                accum = accum @ rel
+            write_trajectory_line(traj, entries[i + 1].name, accum)
+            records.append(FrameRecord(
+                index=i + 1, name=entries[i + 1].name,
+                iterations=iters[i], converged=conv[i],
+                failed=failed, seconds=0.0,
+            ))
+    total = time.time() - total_t0
+    log(f"{n_pairs} pairs in {total:.1f}s ({n_pairs / total:.2f} pairs/s, "
+        f"batch={batch})")
+    return records

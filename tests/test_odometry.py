@@ -138,3 +138,22 @@ def test_odometry_adaptive_smoke(synth_dataset, tmp_path):
     assert len(est) == 3
     for T in est.values():
         assert np.isfinite(T).all()
+
+
+def test_odometry_batched_matches_sequential(synth_dataset, tmp_path):
+    from cvo_rgbd_tpu.odometry import run_odometry_batched
+    from cvo_rgbd_tpu.params import CvoParams
+
+    p = CvoParams(max_iter=100)
+    out_seq = tmp_path / "seq.txt"
+    run_odometry(str(synth_dataset), 1, params=p, num_want=NUM_WANT,
+                 output=str(out_seq), log=lambda *a: None)
+    out_bat = tmp_path / "bat.txt"
+    run_odometry_batched(str(synth_dataset), 1, params=p, num_want=NUM_WANT,
+                         output=str(out_bat), batch=4, log=lambda *a: None)
+    seq = read_trajectory(out_seq)
+    bat = read_trajectory(out_bat)
+    assert set(seq) == set(bat)
+    # vmap reduction-order drift only (see multiseq test)
+    for t in seq:
+        np.testing.assert_allclose(bat[t], seq[t], atol=5e-3)
