@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,8 +68,6 @@ def transform_cloud(R, t, positions):
     Full-fp32 precision: the TPU bf16 matmul default would perturb
     positions at the millimeter scale.
     """
-    import jax
-
     return (
         jnp.matmul(
             positions,

@@ -17,7 +17,6 @@ parity is the target.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 PYR_LEVELS = 3  # data_type.h:25

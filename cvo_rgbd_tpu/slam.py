@@ -22,7 +22,7 @@ import dataclasses
 import numpy as np
 
 from cvo_rgbd_tpu import align_jit
-from cvo_rgbd_tpu.core.posegraph import PoseGraph, from_odometry, optimize
+from cvo_rgbd_tpu.core.posegraph import from_odometry, optimize
 from cvo_rgbd_tpu.keyframes import KeyframePolicy, KeyframeSelector, keyframe_score
 
 
