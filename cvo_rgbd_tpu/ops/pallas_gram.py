@@ -11,10 +11,19 @@ the Gram matrix never exists in memory (SURVEY.md section 7 step 3):
 - `fused_step_coeffs`: second pass (after omega/v are known) producing
   the quartic line-search coefficients B, C, D, E (cvo.cpp:213-289).
 
-Both recompute the A tile from the clouds — exp is cheap, HBM is not.
-Accumulation uses the standard constant-output-block pattern: the
-(8, 128) accumulator block stays resident in VMEM across the whole
-grid; slot layout is documented next to each kernel.
+Mosaic-portability notes (all hit on real v5e hardware):
+- every coordinate/feature/mask is its own ref: x-planes as [N,1]
+  arrays blocked (TI, 1) (columns), y-planes as [1,N] arrays blocked
+  (1, TJ) (rows).  Any column slice of a packed (N, k) block, row
+  slice of a (k, N) block, or 1-D->column reshape is an "Offset
+  change"/relayout Mosaic rejects; (TI,1)x(1,TJ) broadcasts need none;
+- no rank-1 dot_general, no 3x3 matmuls: derivative fields use the
+  recursion xi^{k+1}z = omega x (xi^k z) on (1,TJ) rows;
+- accumulators update as one vectorized (8, 128) add (scalar stores to
+  VMEM are not lowerable).
+
+Both passes recompute the A tile from the clouds — exp is cheap, HBM
+is not.
 """
 
 from __future__ import annotations
@@ -28,10 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 # preferred row/col tile sizes; capacities that are multiples of 128 but
 # not 256 fall back to 128-tiles (pad_cloud guarantees 128-alignment)
-TILE_I = 256
-TILE_J = 256
-
-
 def _tile(n):
     if n % 256 == 0:
         return 256
@@ -45,56 +50,12 @@ def _auto_interpret(interpret):
         return jax.default_backend() == "cpu"
     return interpret
 
-_HI = jax.lax.Precision.HIGHEST
 
-
-def _gram_tile(xp, xm, yp, ym, d2c, scal):
-    """A tile from position blocks + precomputed color distance tile.
-
-    scal: (ell, s2, cs2, inv_2l2, inv_2cl2, d2_thres, d2_c_thres, sp_thres)
-    """
-    (ell, s2, cs2, inv_2l2, inv_2cl2, d2_thres, d2_c_thres, sp_thres) = scal
-    x2 = jnp.sum(xp * xp, axis=-1)
-    y2 = jnp.sum(yp * yp, axis=-1)
-    xy = jax.lax.dot_general(
-        xp, yp, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
-    d2 = jnp.maximum(x2[:, None] + y2[None, :] - 2.0 * xy, 0.0)
-    k = s2 * jnp.exp(-d2 * inv_2l2)
-    ck = cs2 * jnp.exp(-d2c * inv_2cl2)
-    a = k * ck
-    gate = (
-        (d2 < d2_thres)
-        & (d2c < d2_c_thres)
-        & (a > sp_thres)
-        & (xm[:, None] > 0)
-        & (ym[None, :] > 0)
-    )
-    return jnp.where(gate, a, 0.0), d2
-
-
-def _color_d2_tile(xf, yf):
-    xf2 = jnp.sum(xf * xf, axis=-1)
-    yf2 = jnp.sum(yf * yf, axis=-1)
-    xyf = jax.lax.dot_general(
-        xf, yf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
-    return jnp.maximum(xf2[:, None] + yf2[None, :] - 2.0 * xyf, 0.0)
-
-
-def _unpack_scal(s_ref):
-    return tuple(s_ref[0, i] for i in range(8))
-
+NPLANES = 3 + 5 + 1  # planes per cloud: x,y,z, f0..f4, mask
 
 
 def _acc_update(vals):
-    """Build an (8, 128) tensor with vals in row 0, cols 0..len-1.
-
-    Mosaic cannot store scalars into VMEM refs; accumulation is done as
-    one vectorized full-tile add instead.
-    """
+    """(8,128) tensor with vals in row 0 — single vectorized add."""
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     upd = jnp.zeros((8, 128), jnp.float32)
@@ -103,10 +64,48 @@ def _acc_update(vals):
     return upd
 
 
-def _flow_kernel(s_ref, xp_ref, xf_ref, xm_ref, yp_ref, yf_ref, ym_ref,
-                 acc_ref):
-    """Accumulator slots (row 0): 0-2 omega*c, 3-5 v*d, 6 sum A|x-y|^2,
-    7 nnz, 8 sum A."""
+def _read_planes(refs):
+    """9 refs -> ((x0,x1,x2), (f0..f4), mask), each (T,1) or (1,T)."""
+    vals = [r[:, :] for r in refs]
+    return tuple(vals[0:3]), tuple(vals[3:8]), vals[8]
+
+
+def _pair_tile(xrefs, yrefs, scal):
+    """A tile + d2 tile from (TI,1) x-columns and (1,TJ) y-rows."""
+    (ell, s2, cs2, inv_2l2, inv_2cl2, d2_thres, d2_c_thres, sp_thres) = scal
+    (x0, x1, x2), xf, xm = _read_planes(xrefs)
+    (y0, y1, y2), yf, ym = _read_planes(yrefs)
+
+    def psq(a, b):
+        d = a - b          # (TI,1) - (1,TJ) -> (TI,TJ)
+        return d * d
+
+    d2 = psq(x0, y0) + psq(x1, y1) + psq(x2, y2)
+    d2c = psq(xf[0], yf[0])
+    for c in range(1, 5):
+        d2c = d2c + psq(xf[c], yf[c])
+
+    k = s2 * jnp.exp(-d2 * inv_2l2)
+    ck = cs2 * jnp.exp(-d2c * inv_2cl2)
+    a = k * ck
+    gate = (
+        (d2 < d2_thres)
+        & (d2c < d2_c_thres)
+        & (a > sp_thres)
+        & (xm > 0)
+        & (ym > 0)
+    )
+    return jnp.where(gate, a, 0.0), d2
+
+
+def _unpack_scal(s_ref):
+    return tuple(s_ref[0, i] for i in range(8))
+
+
+def _flow_kernel(s_ref, *refs):
+    """refs: 9 x-planes, 9 y-planes, acc.  Accumulator row 0: 0-2
+    omega*c, 3-5 v*d, 6 sum A|x-y|^2, 7 nnz, 8 sum A."""
+    xrefs, yrefs, acc_ref = refs[:9], refs[9:18], refs[18]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -115,44 +114,35 @@ def _flow_kernel(s_ref, xp_ref, xf_ref, xm_ref, yp_ref, yf_ref, ym_ref,
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     scal = _unpack_scal(s_ref)
-    xp = xp_ref[:, :3]
-    yp = yp_ref[:, :3]
-    d2c = _color_d2_tile(xf_ref[:, :5], yf_ref[:, :5])
-    A, d2 = _gram_tile(xp, xm_ref[0, :], yp, ym_ref[0, :], d2c, scal)
+    A, d2 = _pair_tile(xrefs, yrefs, scal)
+    (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
+    (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
-    Ay = jax.lax.dot_general(
-        A, yp, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )  # [TI, 3]
-    row = jnp.sum(A, axis=1)
-    col = jnp.sum(A, axis=0)
+    # Ay components as masked row reductions (no rank-1 dots)
+    Ay0 = jnp.sum(A * y0, axis=1, keepdims=True)   # (TI,1)
+    Ay1 = jnp.sum(A * y1, axis=1, keepdims=True)
+    Ay2 = jnp.sum(A * y2, axis=1, keepdims=True)
+    row = jnp.sum(A, axis=1, keepdims=True)        # (TI,1)
+    col = jnp.sum(A, axis=0, keepdims=True)        # (1,TJ)
 
-    cx = xp[:, 1] * Ay[:, 2] - xp[:, 2] * Ay[:, 1]
-    cy = xp[:, 2] * Ay[:, 0] - xp[:, 0] * Ay[:, 2]
-    cz = xp[:, 0] * Ay[:, 1] - xp[:, 1] * Ay[:, 0]
-    omega_p = (jnp.sum(cx), jnp.sum(cy), jnp.sum(cz))
-    # Mosaic cannot lower rank-1 dot_general; broadcast-sum on the VPU
-    cy_sum = col[:, None] * yp
-    rx_sum = row[:, None] * xp
-    v_p = (
-        jnp.sum(cy_sum[:, 0]) - jnp.sum(rx_sum[:, 0]),
-        jnp.sum(cy_sum[:, 1]) - jnp.sum(rx_sum[:, 1]),
-        jnp.sum(cy_sum[:, 2]) - jnp.sum(rx_sum[:, 2]),
-    )
+    om0 = jnp.sum(x1 * Ay2 - x2 * Ay1)
+    om1 = jnp.sum(x2 * Ay0 - x0 * Ay2)
+    om2 = jnp.sum(x0 * Ay1 - x1 * Ay0)
+    v0 = jnp.sum(col * y0) - jnp.sum(row * x0)
+    v1 = jnp.sum(col * y1) - jnp.sum(row * x1)
+    v2 = jnp.sum(col * y2) - jnp.sum(row * x2)
+
     wsq = jnp.sum(A * d2)
     nnz = jnp.sum((A > 0).astype(jnp.float32))
     sA = jnp.sum(A)
 
-    acc_ref[:, :] += _acc_update([
-        omega_p[0], omega_p[1], omega_p[2],
-        v_p[0], v_p[1], v_p[2],
-        wsq, nnz, sA,
-    ])
+    acc_ref[:, :] += _acc_update([om0, om1, om2, v0, v1, v2, wsq, nnz, sA])
 
 
-def _step_kernel(s_ref, wv_ref, xp_ref, xf_ref, xm_ref, yp_ref, yf_ref,
-                 ym_ref, acc_ref):
-    """Accumulator slots (row 0): 0 B, 1 C, 2 D, 3 E."""
+def _step_kernel(s_ref, wv_ref, *refs):
+    """refs: 9 x-planes, 9 y-planes, acc.  Accumulator row 0: 0 B, 1 C,
+    2 D, 3 E (cvo.cpp:249-289)."""
+    xrefs, yrefs, acc_ref = refs[:9], refs[9:18], refs[18]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -165,17 +155,11 @@ def _step_kernel(s_ref, wv_ref, xp_ref, xf_ref, xm_ref, yp_ref, yf_ref,
     w0, w1, w2 = wv_ref[0, 0], wv_ref[0, 1], wv_ref[0, 2]
     v0, v1, v2 = wv_ref[0, 3], wv_ref[0, 4], wv_ref[0, 5]
 
-    xp = xp_ref[:, :3]
-    yp = yp_ref[:, :3]
-    d2c = _color_d2_tile(xf_ref[:, :5], yf_ref[:, :5])
-    A, _ = _gram_tile(xp, xm_ref[0, :], yp, ym_ref[0, :], d2c, scal)
+    A, _ = _pair_tile(xrefs, yrefs, scal)
+    (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
+    (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
-    # Per-j derivative fields (cvo.cpp:226-238) via the recursion
-    # xi^{k+1}z = omega x (xi^k z): pure VPU column arithmetic — no tiny
-    # 3x3 matmuls, which Mosaic cannot lower.
-    y0, y1, y2 = yp[:, 0], yp[:, 1], yp[:, 2]
-    x0, x1, x2 = xp[:, 0], xp[:, 1], xp[:, 2]
-
+    # xi^{k+1}z = omega x (xi^k z) (cvo.cpp:226-238), column arithmetic
     def wcross(a0, a1, a2):
         return (w1 * a2 - w2 * a1, w2 * a0 - w0 * a2, w0 * a1 - w1 * a0)
 
@@ -188,25 +172,21 @@ def _step_kernel(s_ref, wv_ref, xp_ref, xf_ref, xm_ref, yp_ref, yf_ref,
     def vdot(a, b):
         return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
-    normxiz2 = vdot(xiz, xiz)
+    normxiz2 = vdot(xiz, xiz)            # (1,TJ)
     xiz_dot_xi2z = -vdot(xiz, xi2z)
     epsil_const = vdot(xi2z, xi2z) + 2.0 * vdot(xiz, xi3z)
 
     def dotfield(wf):
-        # [TI,TJ] matrix of wf_j . (x_i - y_j) via three broadcasts
-        s = (
-            x0[:, None] * wf[0][None, :]
-            + x1[:, None] * wf[1][None, :]
-            + x2[:, None] * wf[2][None, :]
-        )
+        # wf components are (1,TJ) rows; x columns broadcast against them
+        s = x0 * wf[0] + x1 * wf[1] + x2 * wf[2]
         wy = wf[0] * y0 + wf[1] * y1 + wf[2] * y2
-        return s - wy[None, :]
+        return s - wy
 
     tc = 1.0 / (2.0 * ell * ell)
     beta = -2.0 * tc * dotfield(xiz)
-    gamma = -tc * (normxiz2[None, :] + 2.0 * dotfield(xi2z))
-    delta = 2.0 * tc * (xiz_dot_xi2z[None, :] - dotfield(xi3z))
-    epsil = -tc * (epsil_const[None, :] + 2.0 * dotfield(xi4z))
+    gamma = -tc * (normxiz2 + 2.0 * dotfield(xi2z))
+    delta = 2.0 * tc * (xiz_dot_xi2z - dotfield(xi3z))
+    epsil = -tc * (epsil_const + 2.0 * dotfield(xi4z))
 
     beta2 = beta * beta
     bg = beta * gamma
@@ -241,23 +221,33 @@ def _scal_vector(ell, p):
     ]).reshape(1, 8)
 
 
+def _pack_x(pos, feat, mask):
+    """x-side planes: nine [N,1] column arrays."""
+    cols = [pos[:, k:k+1] for k in range(3)]
+    cols += [feat[:, k:k+1] for k in range(5)]
+    cols.append(mask.reshape(-1, 1))
+    return cols
+
+
+def _pack_y(pos, feat, mask):
+    """y-side planes: nine [1,N] row arrays."""
+    rows = [pos[:, k].reshape(1, -1) for k in range(3)]
+    rows += [feat[:, k].reshape(1, -1) for k in range(5)]
+    rows.append(mask.reshape(1, -1))
+    return rows
+
+
 def _specs(n, m):
     ti, tj = _tile(n), _tile(m)
-    gi = n // ti
-    gj = m // tj
     smem = pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     xspec = [
-        pl.BlockSpec((ti, 3), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((ti, 5), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-    ]
+        pl.BlockSpec((ti, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    ] * NPLANES
     yspec = [
-        pl.BlockSpec((tj, 3), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((tj, 5), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-    ]
+        pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    ] * NPLANES
     out = pl.BlockSpec((8, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    return (gi, gj), smem, xspec, yspec, out
+    return (n // ti, m // tj), smem, xspec, yspec, out
 
 
 def _check(n, m):
@@ -278,10 +268,7 @@ def fused_flow(xp, xf, xm, yp, yf, ym, ell, *, p, interpret=None):
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
-    )(
-        _scal_vector(ell, p),
-        xp, xf, xm.reshape(1, -1), yp, yf, ym.reshape(1, -1),
-    )
+    )(_scal_vector(ell, p), *_pack_x(xp, xf, xm), *_pack_y(yp, yf, ym))
     omega = acc[0, 0:3] / p.c
     v = acc[0, 3:6] / p.d
     return omega, v, acc[0, 6], acc[0, 7], acc[0, 8]
@@ -306,9 +293,5 @@ def fused_step_coeffs(xp, xf, xm, yp, yf, ym, ell, omega, v, *, p,
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,
-    )(
-        _scal_vector(ell, p),
-        wv,
-        xp, xf, xm.reshape(1, -1), yp, yf, ym.reshape(1, -1),
-    )
+    )(_scal_vector(ell, p), wv, *_pack_x(xp, xf, xm), *_pack_y(yp, yf, ym))
     return acc[0, 0], acc[0, 1], acc[0, 2], acc[0, 3]
