@@ -1,3 +1,10 @@
+from cvo_rgbd_tpu.parallel.ba import (
+    BAProblem,
+    ba_cost,
+    ba_from_keyframes,
+    ba_solve,
+    make_ba_problem,
+)
 from cvo_rgbd_tpu.parallel.mesh import make_mesh
 from cvo_rgbd_tpu.parallel.sharded import (
     align_batched,
@@ -7,6 +14,11 @@ from cvo_rgbd_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "BAProblem",
+    "ba_cost",
+    "ba_from_keyframes",
+    "ba_solve",
+    "make_ba_problem",
     "make_mesh",
     "align_batched",
     "align_ring",

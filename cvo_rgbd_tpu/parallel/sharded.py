@@ -352,16 +352,24 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
 # Batch data parallelism over frame pairs
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _compiled_align_batched(p):
+    from cvo_rgbd_tpu.core.registration import align
+
+    return jax.jit(jax.vmap(functools.partial(align, p)))
+
+
 def align_batched(p, fixed_batch: PointCloud, moving_batch: PointCloud,
                   mesh=None, dp_axis: str = "dp"):
     """vmap align over leading batch axis; shard the batch over `dp`.
 
     Returns a batched AlignResult.  The vmapped while_loop runs until
     the slowest pair in the batch converges (standard vmap semantics).
+    Compiled once per (params, batch/cloud shape) — rebuilding the
+    vmapped closure per call would defeat jit's cache and pay a full
+    recompile every invocation.
     """
-    from cvo_rgbd_tpu.core.registration import align
-
-    fn = jax.vmap(functools.partial(align, p))
+    fn = _compiled_align_batched(p)
     if mesh is not None:
         sharding = NamedSharding(mesh, P(dp_axis))
         fixed_batch = jax.tree_util.tree_map(
@@ -377,4 +385,4 @@ def align_batched(p, fixed_batch: PointCloud, moving_batch: PointCloud,
             moving_batch,
         )
         del sharding
-    return jax.jit(fn)(fixed_batch, moving_batch)
+    return fn(fixed_batch, moving_batch)

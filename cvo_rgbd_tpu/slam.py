@@ -12,7 +12,10 @@ north star asks for:
   defines but never wires);
 - new keyframes are scored against past keyframes; high-overlap,
   non-adjacent pairs are registered and added as loop-closure edges;
-- the SE(3) pose graph (core.posegraph) redistributes the loop error.
+- the SE(3) pose graph (core.posegraph) redistributes the loop error;
+- optionally, `refine_map` runs distributed bundle adjustment
+  (parallel.ba — Schur-complement GN over collectives) on landmarks
+  harvested from the keyframe clouds for metric map consistency.
 """
 
 from __future__ import annotations
@@ -133,3 +136,26 @@ class KeyframeSlam:
             )
             out.append(correction @ pose)
         return out, nodes
+
+    def refine_map(self, kf_poses=None, mesh=None, iters=8, grid=0.1,
+                   radius=0.05):
+        """Bundle-adjust keyframe poses + a landmark map (parallel.ba).
+
+        Starts from `kf_poses` (default: the pose-graph solution from
+        `solve`).  Returns (refined kf poses [K,4,4], landmarks [M,3],
+        costs) or None when too few keyframes/correspondences.  Pass a
+        mesh to shard the observation reductions over devices.
+        """
+        from cvo_rgbd_tpu.parallel import ba_from_keyframes, ba_solve
+
+        if len(self.keyframes) < 2:
+            return None
+        if kf_poses is None:
+            _, kf_poses = self.solve()
+        problem = ba_from_keyframes(
+            [k.cloud for k in self.keyframes], np.asarray(kf_poses),
+            grid=grid, radius=radius,
+        )
+        if problem is None:
+            return None
+        return ba_solve(problem, mesh=mesh, iters=iters)

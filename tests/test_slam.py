@@ -95,3 +95,29 @@ def test_slam_single_frame(rng):
     np.testing.assert_allclose(pose, np.eye(4))
     frames, kfs = slam.solve()
     assert len(frames) == 1
+
+
+def test_slam_refine_map(rng):
+    """BA refinement after pose-graph solve: runs, reduces cost, and
+    keeps poses near the graph solution on clean data."""
+    world, feat = make_world(rng, n=250)
+    poses_gt = square_loop_poses(n_side=2)
+    params = CvoParams(max_iter=120)
+    cfg = SlamConfig(
+        keyframe=KeyframePolicy(threshold=0.995, max_span=2),
+        loop_min_separation=3,
+    )
+    slam = KeyframeSlam(params, cfg)
+    for i, T in enumerate(poses_gt):
+        slam.process(i, observe(world, feat, T))
+
+    out = slam.refine_map(grid=0.4, radius=0.3, iters=6)
+    assert out is not None
+    poses, landmarks, costs = out
+    poses = np.asarray(poses)
+    assert poses.shape == (len(slam.keyframes), 4, 4)
+    assert np.isfinite(poses).all() and np.isfinite(np.asarray(landmarks)).all()
+    assert float(costs[-1]) <= float(costs[0])
+    # clean input: refined keyframe positions stay close to ground truth
+    for kf, P in zip(slam.keyframes, poses):
+        assert np.linalg.norm(P[:3, 3] - poses_gt[kf.index][:3, 3]) < 0.05
