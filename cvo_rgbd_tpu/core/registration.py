@@ -239,6 +239,14 @@ def align(
     `cvo_rgbd_tpu.api`.
     """
     adaptive = isinstance(p, AcvoParams)
+    if getattr(p, "backend", "xla") == "fused":
+        # whole-loop Pallas mega-kernel (ops/pallas_align.py); clouds
+        # stay VMEM-resident and the while_loop runs on scalar carries
+        if adaptive:
+            raise ValueError("backend='fused' does not support AcvoParams")
+        from cvo_rgbd_tpu.ops.pallas_align import align_fused
+
+        return align_fused(p, fixed, moving, R0, T0)
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
     T0 = jnp.zeros(3, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)

@@ -1,0 +1,634 @@
+"""Whole-align Pallas mega-kernel: the entire CVO gradient flow
+(cvo.cpp:361-420) as ONE TPU kernel.
+
+Motivation (docs/PERF.md): a `lax.while_loop` align iteration costs
+~1.1 ms on the dev chip although its heavy compute is ~110 us, and the
+overhead is independent of the body width (batch 16 pays the same
+per-iteration cost as batch 1) — i.e. it is loop/dispatch bookkeeping,
+not data.  This kernel removes the XLA loop entirely: both clouds stay
+resident in VMEM, `lax.while_loop` runs *inside* the kernel over
+scalar (SREG) carries, and each iteration evaluates the Gram tile,
+the flow reductions, the line-search coefficients, the closed-form
+cubic, the SE(3) exponential update and the stopping rules without
+ever leaving the core.
+
+Per-iteration loop-invariants are hoisted out of the while body and
+live in VMEM across iterations:
+- linear color mode: the MATLAB CI tile (rkhs_se3_registration.m:40-53)
+  as sum of three (N,1)x(1,M) broadcast products — no matmul needed;
+- se color mode: the feature kernel ck and its gate (features do not
+  transform, cvo.cpp:143-153).
+
+Mosaic-portability rules (same as ops/pallas_gram.py, all verified on
+v5e hardware): per-coordinate (N,1)/(1,M) planes, no rank-1 dots, no
+3x3 matmuls (the SE(3) algebra is unrolled scalar arithmetic), no
+scalar VMEM stores (the result tile is assembled with one vectorized
+store).  Scalar transcendentals (sqrt/sin/cos/acos/exp/log on SREGs)
+are used directly; `_SCALAR_TRANSCENDENTALS = False` reroutes them
+through (8, 128) VPU tiles if a backend rejects them.
+
+Scope: non-adaptive CVO, both color modes, one (N x M) Gram tile — the
+clouds must fit VMEM (N*M <= ~1M pairs).  Larger clouds and AcvoParams
+fall back to the standard backends in core.registration.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cvo_rgbd_tpu.ops.pallas_gram import _auto_interpret
+
+_BIG = 1e30
+_TOL2 = 1e-12  # TOLERANCE^2 (LieGroup.cpp:18)
+
+# Scalar transcendentals lower to Mosaic SREG/VPU ops directly; flip to
+# False to evaluate them on an (8,128) tile and reduce back (fallback
+# for backends that reject scalar math calls).
+_SCALAR_TRANSCENDENTALS = True
+
+
+def _t1(fn, x):
+    """Transcendental on a traced scalar."""
+    if _SCALAR_TRANSCENDENTALS:
+        return fn(x)
+    tile = jnp.full((8, 128), x, jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    return jnp.sum(jnp.where((row == 0) & (col == 0), fn(tile), 0.0))
+
+
+def _sqrt(x):
+    return _t1(jnp.sqrt, x)
+
+
+def _sin(x):
+    return _t1(jnp.sin, x)
+
+
+def _cos(x):
+    return _t1(jnp.cos, x)
+
+
+def _acos(x):
+    """arccos without lax.acos (no Mosaic lowering exists): the
+    Abramowitz-Stegun 4.4.45 polynomial (|err| <= 6.7e-5 rad) refined by
+    two Newton steps on cos(t) = x — accuracy beyond fp32 eps using only
+    sqrt/sin/cos, all of which Mosaic lowers."""
+    xc = jnp.clip(x, -1.0, 1.0)
+    ax = jnp.abs(xc)
+    t = _sqrt(1.0 - ax) * (
+        1.5707288 + ax * (-0.2121144 + ax * (0.0742610 - 0.0187293 * ax))
+    )
+    t = jnp.where(xc < 0, math.pi - t, t)
+    for _ in range(2):
+        s = _sin(t)
+        safe = jnp.abs(s) >= 1e-6
+        s_safe = jnp.where(safe, s, 1.0)
+        t = jnp.where(safe, t + (_cos(t) - xc) / s_safe, t)
+    return t
+
+
+def _cbrt(x):
+    """Scalar cube root, sign-correct, cbrt(0) = 0."""
+    ax = jnp.abs(x)
+    r = _t1(lambda a: jnp.exp(jnp.log(jnp.maximum(a, 1e-38)) / 3.0), ax)
+    return jnp.where(ax < 1e-38, 0.0, jnp.sign(x) * r)
+
+
+# ---------------------------------------------------------------------------
+# scalar 3-vector / 3x3 helpers (tuples of traced scalars — no arrays,
+# so nothing for Mosaic to relayout)
+# ---------------------------------------------------------------------------
+
+def _mat3_mul(a, b):
+    """Row-major 9-tuples: a @ b."""
+    return tuple(
+        a[3 * i + 0] * b[0 + j] + a[3 * i + 1] * b[3 + j] + a[3 * i + 2] * b[6 + j]
+        for i in range(3) for j in range(3)
+    )
+
+
+def _mat3_vec(a, v):
+    return tuple(
+        a[3 * i] * v[0] + a[3 * i + 1] * v[1] + a[3 * i + 2] * v[2]
+        for i in range(3)
+    )
+
+
+def _mat3_t(a):
+    return (a[0], a[3], a[6], a[1], a[4], a[7], a[2], a[5], a[8])
+
+
+_EYE3 = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def _lerp9(cond, a, b):
+    return tuple(jnp.where(cond, ai, bi) for ai, bi in zip(a, b))
+
+
+def _rod_mats(w, th2, c1, c2):
+    """I + c1*skew(w) + c2*(w w^T - th2 I), as a row-major 9-tuple.
+    (skew(w)^2 = w w^T - |w|^2 I, so this covers Rodrigues/Jl/Jl_inv.)"""
+    w0, w1, w2 = w
+
+    def entry(i, j):
+        sk = (
+            (0.0, -w2, w1),
+            (w2, 0.0, -w0),
+            (-w1, w0, 0.0),
+        )[i][j]
+        ww = (w0, w1, w2)[i] * (w0, w1, w2)[j] - (th2 if i == j else 0.0)
+        return (1.0 if i == j else 0.0) + c1 * sk + c2 * ww
+
+    return tuple(entry(i, j) for i in range(3) for j in range(3))
+
+
+def _exp_sek3_scalar(om, v, dt):
+    """(dR 9-tuple, dT 3-tuple) — se3.exp_sek3 transcribed to scalars,
+    including the reference small-angle quirk Jl = I
+    (LieGroup.cpp:168-170)."""
+    th2 = om[0] * om[0] + om[1] * om[1] + om[2] * om[2]
+    small = th2 < _TOL2
+    th2_s = jnp.where(small, 1.0, th2)
+    th = _sqrt(th2_s)
+    st = _sin(dt * th)
+    ct = _cos(dt * th)
+    st_over = st / th
+    one_m_ct = (1.0 - ct) / th2_s
+    dR = _rod_mats(om, th2_s, st_over, one_m_ct)
+    jl_c2 = (dt * th - st) / (th2_s * th)
+    Jl = _rod_mats(om, th2_s, one_m_ct, jl_c2)
+    # _rod_mats builds I + c1*skew + c2*(ww^T - th2 I); Jl needs dt*I:
+    Jl = tuple(
+        jl + (dt - 1.0 if i % 4 == 0 else 0.0) for i, jl in enumerate(Jl)
+    )
+    dR = _lerp9(small, _EYE3, dR)
+    Jl = _lerp9(small, _EYE3, Jl)  # reference quirk: I, not dt*I
+    return dR, _mat3_vec(Jl, v)
+
+
+def _dist_se3_scalar(dR, dT):
+    """se3.dist_se3 on scalar tuples: sqrt(2|w|^2 + |u|^2),
+    w = log_so3(dR), u = Jl^{-1}(w) dT (cvo.cpp:71-81)."""
+    tr = dR[0] + dR[4] + dR[8]
+    cos_th = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    th = _acos(cos_th)
+    small = th < 1e-6
+    th_s = jnp.where(small, 1.0, th)
+    f = th_s / (2.0 * _sin(th_s))
+    f = jnp.where(small, 0.5 + th * th / 12.0, f)
+    w = (
+        f * (dR[7] - dR[5]),
+        f * (dR[2] - dR[6]),
+        f * (dR[3] - dR[1]),
+    )
+    wth2 = w[0] * w[0] + w[1] * w[1] + w[2] * w[2]
+    wsmall = wth2 < _TOL2
+    wth2_s = jnp.where(wsmall, 1.0, wth2)
+    wth = _sqrt(wth2_s)
+    c = 1.0 / wth2_s - (1.0 + _cos(wth)) / (2.0 * wth * _sin(wth))
+    c = jnp.where(wsmall, 1.0 / 12.0 + wth2 / 720.0, c)
+    # Jl_inv = I - 0.5 skew(w) + c (w w^T - th2 I); th2_s == th2 on the
+    # non-small branch, and on the small branch the true th2 ~ 0:
+    Jli = _lerp9(wsmall, _rod_mats(w, 0.0, -0.5, c), _rod_mats(w, wth2_s, -0.5, c))
+    u = _mat3_vec(Jli, dT)
+    return _sqrt(2.0 * wth2 + u[0] * u[0] + u[1] * u[1] + u[2] * u[2])
+
+
+def _poly_eval(a, b, c, d, t):
+    return ((a * t + b) * t + c) * t + d
+
+
+def _cubic_min_positive(a, b, c, d, min_step, max_step):
+    """Scalar transcription of core.cubic.cubic_roots +
+    min_positive_root: min positive real root of a t^3+b t^2+c t+d,
+    else min_step, clamped to max_step (cvo.cpp:298-307)."""
+    aa, ab, ac, ad = jnp.abs(a), jnp.abs(b), jnp.abs(c), jnp.abs(d)
+    coef_scale = jnp.maximum(jnp.maximum(aa, ab), jnp.maximum(ac, ad))
+    tiny = 1e-7 * jnp.maximum(coef_scale, 1e-30)
+    is_cubic = aa > tiny
+    is_quad = ~is_cubic & (ab > tiny)
+    is_lin = ~is_cubic & ~is_quad & (ac > tiny)
+
+    # --- cubic branch, Fujiwara-rescaled (t = tau u) ---
+    a_s = jnp.where(is_cubic, a, 1.0)
+    tau = jnp.maximum(
+        jnp.maximum(jnp.abs(b / a_s), _sqrt(jnp.abs(c / a_s))),
+        _cbrt(jnp.abs(d / a_s)),
+    )
+    tau = jnp.maximum(tau, 1e-20)
+    p = b / (a_s * tau)
+    q = c / (a_s * tau * tau)
+    r = d / (a_s * tau * tau * tau)
+    ps = q - p * p / 3.0
+    qs = 2.0 * p * p * p / 27.0 - p * q / 3.0 + r
+    delta = (qs * 0.5) ** 2 + (ps / 3.0) ** 3
+
+    sq = _sqrt(jnp.maximum(delta, 0.0))
+    s_single = _cbrt(-qs * 0.5 + sq) + _cbrt(-qs * 0.5 - sq)
+
+    ps_neg = jnp.minimum(ps, -1e-30)
+    m_ = 2.0 * _sqrt(-ps_neg / 3.0)
+    denom = ps_neg * m_
+    denom = jnp.where(jnp.abs(denom) < 1e-30, -1e-30, denom)
+    acos_arg = jnp.clip(3.0 * qs / denom, -1.0, 1.0)
+    phi = _acos(acos_arg)
+    two_pi = 2.0 * math.pi
+    u0 = m_ * _cos(phi / 3.0) - p / 3.0
+    u1 = m_ * _cos((phi - two_pi) / 3.0) - p / 3.0
+    u2 = m_ * _cos((phi - 2.0 * two_pi) / 3.0) - p / 3.0
+    u_dom = jnp.where(jnp.abs(u0) >= jnp.abs(u1), u0, u1)
+    u_dom = jnp.where(jnp.abs(u_dom) >= jnp.abs(u2), u_dom, u2)
+    three = delta <= 0
+    t1 = tau * jnp.where(three, u_dom, s_single - p / 3.0)
+
+    # backward deflation by the dominant root (core.cubic:91-103)
+    t1_s = jnp.where(jnp.abs(t1) < 1e-20, 1.0, t1)
+    c2_back = -d / t1_s
+    b2_back = (c2_back - c) / t1_s
+    b2_fwd = b + a * t1
+    c2_fwd = c + t1 * b2_fwd
+    use_back = jnp.abs(t1) >= 1e-20
+    b2 = jnp.where(use_back, b2_back, b2_fwd)
+    c2 = jnp.where(use_back, c2_back, c2_fwd)
+    ddisc = b2 * b2 - 4.0 * a_s * c2
+    dsq = _sqrt(jnp.maximum(ddisc, 0.0))
+    sgn = jnp.sign(b2 + (b2 == 0))
+    dtmp = -0.5 * (b2 + sgn * dsq)
+    cub1 = t1
+    cub2 = dtmp / a_s
+    cub3 = jnp.where(jnp.abs(dtmp) > 1e-30, c2 / dtmp, 0.0)
+    cubv1 = jnp.asarray(True)
+    cubv2 = ddisc >= 0
+    cubv3 = (ddisc >= 0) & (jnp.abs(dtmp) > 1e-30)
+
+    # --- quadratic branch ---
+    b_s = jnp.where(is_quad, b, 1.0)
+    qdisc = c * c - 4.0 * b_s * d
+    qsq = _sqrt(jnp.maximum(qdisc, 0.0))
+    qsgn = jnp.sign(c + (c == 0))
+    qtmp = -0.5 * (c + qsgn * qsq)
+    qu1 = qtmp / b_s
+    qu2 = jnp.where(jnp.abs(qtmp) > 1e-30, d / qtmp, 0.0)
+    quv1 = qdisc >= 0
+    quv2 = (qdisc >= 0) & (jnp.abs(qtmp) > 1e-30)
+
+    # --- linear branch ---
+    c_s = jnp.where(is_lin, c, 1.0)
+    li1 = -d / c_s
+
+    def pick(cub, cubv, qu, quv, li, liv):
+        root = jnp.where(
+            is_cubic, cub, jnp.where(is_quad, qu, jnp.where(is_lin, li, 0.0))
+        )
+        valid = (
+            (is_cubic & cubv) | (is_quad & quv) | (is_lin & liv)
+        )
+        return root, valid
+
+    r1, v1 = pick(cub1, cubv1, qu1, quv1, li1, jnp.asarray(True))
+    r2, v2 = pick(cub2, cubv2, qu2, quv2, 0.0, jnp.asarray(False))
+    r3, v3 = pick(cub3, cubv3, 0.0, jnp.asarray(False), 0.0, jnp.asarray(False))
+
+    def polish_validate(t, valid):
+        t0 = t
+        for _ in range(3):
+            pv = _poly_eval(a, b, c, d, t)
+            dp = (3.0 * a * t + 2.0 * b) * t + c
+            dp = jnp.where(jnp.abs(dp) < 1e-30, 1e-30, dp)
+            t = t - pv / dp
+        near = jnp.abs(t - t0) <= 0.25 * (jnp.abs(t0) + 1.0)
+        ok = jnp.isfinite(t) & near
+        t = jnp.where(ok, t, t0)
+        res = jnp.abs(_poly_eval(a, b, c, d, t))
+        term = jnp.maximum(
+            jnp.maximum(jnp.abs(a * t * t * t), jnp.abs(b * t * t)),
+            jnp.maximum(jnp.abs(c * t), jnp.abs(d)),
+        )
+        valid = valid & (res <= 1e-3 * jnp.maximum(term, 1e-30))
+        return t, valid
+
+    r1, v1 = polish_validate(r1, v1)
+    r2, v2 = polish_validate(r2, v2)
+    r3, v3 = polish_validate(r3, v3)
+
+    def cand(t, valid):
+        ok = valid & (t > 0) & (jnp.abs(t) < _BIG)
+        return jnp.where(ok, t, _BIG)
+
+    best = jnp.minimum(jnp.minimum(cand(r1, v1), cand(r2, v2)), cand(r3, v3))
+    step = jnp.where(best < 0.5 * _BIG, best, min_step)
+    return jnp.minimum(step, max_step)
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _out_tile(vals):
+    """Assemble the (8,128) result tile with vals in row 0 — one store."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out = jnp.zeros((8, 128), jnp.float32)
+    for idx, val in enumerate(vals):
+        out = out + jnp.where((row == 0) & (col == idx), val, 0.0)
+    return out
+
+
+def _make_kernel(p, nfeat):
+    """Kernel closure; every hyperparameter is baked in as a Python
+    constant (p is a frozen dataclass — jit-static)."""
+    linear = p.color_mode == "linear"
+    s2 = float(p.sigma) ** 2
+    cs2 = float(p.c_sigma) ** 2
+    # d2_thres = -2 l^2 log(sp/s2) (cvo.cpp:102): ell-dependent via l^2
+    thres_c = -2.0 * math.log(float(p.sp_thres) / s2)
+    if not linear:
+        inv2cl2 = 1.0 / (2.0 * float(p.c_ell) ** 2)
+        d2_c_thres = -2.0 * float(p.c_ell) ** 2 * math.log(
+            float(p.c_sp_thres) / cs2
+        )
+    eps2 = float(p.eps) ** 2
+    eps_2 = float(p.eps_2)
+    max_iter = int(p.max_iter)
+    min_step = float(p.min_step)
+    max_step = float(p.max_step)
+    inv_c = 1.0 / float(p.c)
+    inv_d = 1.0 / float(p.d)
+    color_scale = float(p.color_scale) if linear else 0.0
+    sp_thres = float(p.sp_thres)
+    sched = tuple(p.ell_sched)
+
+    def kernel(init_ref, *refs):
+        nplanes = 3 + nfeat + 1
+        xrefs = refs[:nplanes]
+        yrefs = refs[nplanes:2 * nplanes]
+        acc_ref = refs[2 * nplanes]
+
+        x0, x1, x2 = (xrefs[i][:, :] for i in range(3))       # (N,1)
+        xf = tuple(xrefs[3 + i][:, :] for i in range(nfeat))
+        xm = xrefs[3 + nfeat][:, :]
+        y0, y1, y2 = (yrefs[i][:, :] for i in range(3))       # (1,M)
+        yf = tuple(yrefs[3 + i][:, :] for i in range(nfeat))
+        ym = yrefs[3 + nfeat][:, :]
+
+        bmask = (xm > 0) & (ym > 0)                           # (N,M)
+
+        # ---- loop-invariant color tile ----
+        if linear:
+            ci = color_scale * (xf[0] * yf[0] + xf[1] * yf[1] + xf[2] * yf[2])
+            ck = None
+        else:
+            d2c = (xf[0] - yf[0]) ** 2
+            for f in range(1, nfeat):
+                d2c = d2c + (xf[f] - yf[f]) ** 2
+            ck = cs2 * jnp.exp(-d2c * inv2cl2)
+            bmask = bmask & (d2c < d2_c_thres)
+            ci = None
+
+        R0 = tuple(init_ref[0, i] for i in range(9))
+        T0 = tuple(init_ref[0, 9 + i] for i in range(3))
+
+        def body(carry):
+            (k, conv, R, T, tf, ell, _om, _v) = carry
+
+            # update_tf (cvo.cpp:83-87): tf = [R', -R'T], row-major [3,4]
+            Rt = _mat3_t(R)
+            tT = _mat3_vec(Rt, T)
+            tf_new = (
+                Rt[0], Rt[1], Rt[2], -tT[0],
+                Rt[3], Rt[4], Rt[5], -tT[1],
+                Rt[6], Rt[7], Rt[8], -tT[2],
+            )
+
+            # transform_pcd (cvo.cpp:310-315) on (1,M) rows
+            ty0 = Rt[0] * y0 + Rt[1] * y1 + Rt[2] * y2 - tT[0]
+            ty1 = Rt[3] * y0 + Rt[4] * y1 + Rt[5] * y2 - tT[1]
+            ty2 = Rt[6] * y0 + Rt[7] * y1 + Rt[8] * y2 - tT[2]
+
+            # se_kernel (cvo.cpp:99-161 / rkhs_se3_registration.m:125-127)
+            d2 = (x0 - ty0) ** 2 + (x1 - ty1) ** 2 + (x2 - ty2) ** 2
+            inv2l2 = 1.0 / (2.0 * ell * ell)
+            kmat = s2 * jnp.exp(-d2 * inv2l2)
+            if linear:
+                gate = (kmat >= sp_thres) & bmask
+                A = jnp.where(gate, ci * kmat, 0.0)
+            else:
+                a = kmat * ck
+                gate = (d2 < thres_c * ell * ell) & (a > sp_thres) & bmask
+                A = jnp.where(gate, a, 0.0)
+
+            # compute_flow (cvo.cpp:164-210): masked row reductions
+            Ay0 = jnp.sum(A * ty0, axis=1, keepdims=True)     # (N,1)
+            Ay1 = jnp.sum(A * ty1, axis=1, keepdims=True)
+            Ay2 = jnp.sum(A * ty2, axis=1, keepdims=True)
+            rowA = jnp.sum(A, axis=1, keepdims=True)
+            colA = jnp.sum(A, axis=0, keepdims=True)
+            om = (
+                jnp.sum(x1 * Ay2 - x2 * Ay1) * inv_c,
+                jnp.sum(x2 * Ay0 - x0 * Ay2) * inv_c,
+                jnp.sum(x0 * Ay1 - x1 * Ay0) * inv_c,
+            )
+            vv = (
+                (jnp.sum(colA * ty0) - jnp.sum(rowA * x0)) * inv_d,
+                (jnp.sum(colA * ty1) - jnp.sum(rowA * x1)) * inv_d,
+                (jnp.sum(colA * ty2) - jnp.sum(rowA * x2)) * inv_d,
+            )
+
+            # compute_step_size (cvo.cpp:213-308): derivative fields by
+            # the cross recursion on (1,M) rows
+            w0, w1, w2 = om
+
+            def wcross(a0, a1, a2):
+                return (w1 * a2 - w2 * a1, w2 * a0 - w0 * a2, w0 * a1 - w1 * a0)
+
+            xiz = wcross(ty0, ty1, ty2)
+            xiz = (xiz[0] + vv[0], xiz[1] + vv[1], xiz[2] + vv[2])
+            xi2z = wcross(*xiz)
+            xi3z = wcross(*xi2z)
+            xi4z = wcross(*xi3z)
+
+            def vdot(A_, B_):
+                return A_[0] * B_[0] + A_[1] * B_[1] + A_[2] * B_[2]
+
+            normxiz2 = vdot(xiz, xiz)
+            xiz_dot_xi2z = -vdot(xiz, xi2z)
+            epsil_const = vdot(xi2z, xi2z) + 2.0 * vdot(xiz, xi3z)
+
+            def dotfield(wf):
+                s = x0 * wf[0] + x1 * wf[1] + x2 * wf[2]
+                wy = wf[0] * ty0 + wf[1] * ty1 + wf[2] * ty2
+                return s - wy
+
+            tc = inv2l2
+            beta = -2.0 * tc * dotfield(xiz)
+            gamma = -tc * (normxiz2 + 2.0 * dotfield(xi2z))
+            delta = 2.0 * tc * (xiz_dot_xi2z - dotfield(xi3z))
+            epsil = -tc * (epsil_const + 2.0 * dotfield(xi4z))
+            beta2 = beta * beta
+            B = jnp.sum(A * beta)
+            C = jnp.sum(A * (gamma + 0.5 * beta2))
+            D = jnp.sum(A * (delta + beta * gamma + beta2 * beta / 6.0))
+            E = jnp.sum(
+                A * (epsil + beta * delta + 0.5 * beta2 * gamma
+                     + 0.5 * gamma * gamma + beta2 * beta2 / 24.0)
+            )
+            step = _cubic_min_positive(
+                4.0 * E, 3.0 * D, 2.0 * C, B, min_step, max_step
+            )
+
+            # stop 1 BEFORE the update (cvo.cpp:380)
+            om_n2 = om[0] * om[0] + om[1] * om[1] + om[2] * om[2]
+            v_n2 = vv[0] * vv[0] + vv[1] * vv[1] + vv[2] * vv[2]
+            stop1 = (om_n2 < eps2) & (v_n2 < eps2)
+
+            dR, dT = _exp_sek3_scalar(om, vv, step)
+            RdT = _mat3_vec(R, dT)
+            R_upd = _mat3_mul(R, dR)
+            R_new = _lerp9(stop1, R, R_upd)
+            T_new = tuple(
+                jnp.where(stop1, T[i], RdT[i] + T[i]) for i in range(3)
+            )
+
+            # stop 2 AFTER the update (cvo.cpp:402)
+            stop2 = _dist_se3_scalar(dR, dT) < eps_2
+            converged = stop1 | stop2
+
+            # ell schedule (cvo.cpp:408-410), frozen when converged
+            ell_new = ell
+            for thresh, val in sched:
+                ell_new = jnp.where(k > thresh, jnp.float32(val), ell_new)
+            ell_new = jnp.where(converged, ell, ell_new)
+
+            return (
+                k + 1,
+                converged.astype(jnp.int32),
+                R_new,
+                T_new,
+                tf_new,
+                ell_new,
+                om,
+                vv,
+            )
+
+        def cond(carry):
+            k, conv = carry[0], carry[1]
+            return (k < max_iter) & (conv == 0)
+
+        def f32(v):
+            return jnp.asarray(v, jnp.float32)
+
+        zero3 = (f32(0.0),) * 3
+        tf_eye = tuple(
+            f32(v) for v in (1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0)
+        )
+        init = (
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            tuple(f32(v) for v in R0),
+            tuple(f32(v) for v in T0),
+            tf_eye,
+            f32(p.ell_init),
+            zero3,
+            zero3,
+        )
+        k, conv, R, T, tf, ell, om, vv = jax.lax.while_loop(cond, body, init)
+
+        acc_ref[:, :] = _out_tile(
+            list(tf)                      # 0..11  inverse transform [R'| -R'T]
+            + list(R) + list(T)           # 12..23 internal R,T
+            + [k.astype(jnp.float32), conv.astype(jnp.float32), ell]  # 24..26
+            + list(om) + list(vv)         # 27..32
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
+    """Single-kernel align; drop-in for core.registration.align on
+    non-adaptive params with VMEM-resident clouds.
+
+    Returns the same AlignResult contract (tf from the top of the last
+    executed iteration, iterations = k-1, cvo.cpp:413-415).
+    """
+    from cvo_rgbd_tpu.core.registration import AlignResult
+
+    def _pack_x(pos, feat, mask):
+        cols = [pos[:, k:k + 1] for k in range(3)]
+        cols += [feat[:, k:k + 1] for k in range(feat.shape[1])]
+        cols.append(mask.reshape(-1, 1))
+        return cols
+
+    def _pack_y(pos, feat, mask):
+        rows = [pos[:, k].reshape(1, -1) for k in range(3)]
+        rows += [feat[:, k].reshape(1, -1) for k in range(feat.shape[1])]
+        rows.append(mask.reshape(1, -1))
+        return rows
+
+    from cvo_rgbd_tpu.params import AcvoParams
+
+    if isinstance(p, AcvoParams):
+        raise ValueError("backend='fused' does not support AcvoParams; "
+                         "use backend='pallas' or 'xla'")
+    interpret = _auto_interpret(interpret)
+    n, m = fixed.positions.shape[0], moving.positions.shape[0]
+    if n % 8 or m % 128:
+        raise ValueError(f"capacities ({n},{m}) must be multiples of (8,128)")
+    if n * m > (1 << 20):
+        raise ValueError(
+            f"clouds too large for the fused kernel ({n}x{m} pairs); "
+            "use backend='pallas' or 'xla'"
+        )
+    nfeat = int(fixed.features.shape[1])
+    if p.color_mode == "linear" and nfeat != 3:
+        raise ValueError("linear color mode expects 3 color features")
+
+    R0 = (jnp.eye(3, dtype=jnp.float32) if R0 is None
+          else jnp.asarray(R0, jnp.float32))
+    T0 = jnp.zeros(3, jnp.float32) if T0 is None else jnp.asarray(T0, jnp.float32)
+    init = jnp.concatenate([R0.reshape(9), T0.reshape(3), jnp.zeros(4)])
+    init = init.reshape(1, 16).astype(jnp.float32)
+
+    nplanes = 3 + nfeat + 1
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        _make_kernel(p, nfeat),
+        in_specs=[smem] + [vmem] * (2 * nplanes),
+        out_specs=vmem,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        # the default 16 MB *scoped* vmem budget undercounts what v5e
+        # actually has; the iteration body keeps ~10 (N,M) temporaries
+        # live (A, d2, the 4 line-search fields, dotfield scratch)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        init,
+        *_pack_x(fixed.positions, fixed.features, fixed.mask),
+        *_pack_y(moving.positions, moving.features, moving.mask),
+    )
+
+    row0 = acc[0]
+    tf = jnp.concatenate([
+        row0[0:12].reshape(3, 4),
+        jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32),
+    ])
+    return AlignResult(
+        tf=tf,
+        R=row0[12:21].reshape(3, 3),
+        T=row0[21:24],
+        iterations=row0[24].astype(jnp.int32) - 1,
+        converged=row0[25] > 0,
+        ell=row0[26],
+        omega=row0[27:30],
+        v=row0[30:33],
+    )

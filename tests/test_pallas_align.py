@@ -1,0 +1,89 @@
+"""Whole-align Pallas mega-kernel vs the XLA reference path.
+
+Runs in interpret mode on CPU (the kernel logic as plain JAX); the
+Mosaic lowering is validated on hardware (docs/PERF.md).
+"""
+
+import numpy as np
+import pytest
+
+from cvo_rgbd_tpu import CvoParams, MATLAB_PARAMS, AcvoParams, align_jit, pad_cloud, se3
+from cvo_rgbd_tpu.ops.pallas_align import align_fused
+
+
+def _pair(rng, nfeat, n=200, cap=256):
+    base = rng.standard_normal((n + 30, 3)).astype(np.float32) * 0.4
+    feat = (rng.random((n + 30, 5)) * np.array([255, 255, 255, 60, 60]))
+    feat = feat[:, :nfeat].astype(np.float32)
+    R = np.asarray(se3.exp_so3(np.array([0.01, -0.012, 0.008], np.float32)))
+    t = np.array([0.02, -0.01, 0.015], np.float32)
+    yp = (base[20:20 + n] @ R.T + t).astype(np.float32)
+    x = pad_cloud(base[:n], feat[:n], capacity=cap)
+    y = pad_cloud(yp, feat[20:20 + n], capacity=cap)
+    return x, y
+
+
+@pytest.mark.parametrize("params,nfeat", [
+    (CvoParams(max_iter=60), 5),
+    (MATLAB_PARAMS, 3),
+])
+def test_fused_matches_xla(rng, params, nfeat):
+    x, y = _pair(rng, nfeat)
+    ref = align_jit(params, x, y)
+    got = align_fused(params, x, y, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=2e-5)
+    assert int(got.iterations) == int(ref.iterations)
+    assert bool(got.converged) == bool(ref.converged)
+    np.testing.assert_allclose(float(got.ell), float(ref.ell), atol=1e-6)
+
+
+def test_fused_warm_start(rng):
+    x, y = _pair(rng, 3)
+    R0 = np.asarray(se3.exp_so3(np.array([0.005, 0.003, -0.002], np.float32)))
+    T0 = np.array([0.01, 0.0, -0.005], np.float32)
+    ref = align_jit(MATLAB_PARAMS, x, y, R0, T0)
+    got = align_fused(MATLAB_PARAMS, x, y, R0, T0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=2e-5)
+    assert int(got.iterations) == int(ref.iterations)
+
+
+def test_fused_self_registration_identity(rng):
+    x, _ = _pair(rng, 3)
+    res = align_fused(MATLAB_PARAMS, x, x, interpret=True)
+    assert int(res.iterations) == 0
+    np.testing.assert_array_equal(np.asarray(res.tf),
+                                  np.eye(4, dtype=np.float32))
+
+
+def test_fused_empty_moving(rng):
+    x, _ = _pair(rng, 3)
+    empty = pad_cloud(np.zeros((0, 3), np.float32),
+                      np.zeros((0, 3), np.float32), capacity=256)
+    res = align_fused(MATLAB_PARAMS, x, empty, interpret=True)
+    assert int(res.iterations) == 0
+    assert np.isfinite(np.asarray(res.tf)).all()
+
+
+def test_fused_rejects_adaptive_and_oversize(rng):
+    x, y = _pair(rng, 5)
+    with pytest.raises((ValueError, TypeError)):
+        align_fused(AcvoParams(), x, y, interpret=True)
+    big = pad_cloud(np.zeros((0, 3), np.float32),
+                    np.zeros((0, 5), np.float32), capacity=2048)
+    with pytest.raises(ValueError):
+        align_fused(CvoParams(), big, big, interpret=True)
+
+
+def test_fused_via_backend_param(rng):
+    """backend='fused' routes core.registration.align to the kernel."""
+    import dataclasses
+
+    x, y = _pair(rng, 3)
+    p = dataclasses.replace(MATLAB_PARAMS, backend="fused")
+    ref = align_jit(MATLAB_PARAMS, x, y)
+    got = align_jit(p, x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=2e-5)
+    assert int(got.iterations) == int(ref.iterations)
