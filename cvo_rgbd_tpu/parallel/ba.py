@@ -266,7 +266,8 @@ def ba_from_keyframes(keyframe_clouds, poses, grid=0.1, radius=0.05,
     obs_pose, obs_lm, obs_z = [], [], []
     for k, (cloud, T) in enumerate(zip(keyframe_clouds, poses)):
         pts_w = world(cloud, T)
-        # chunked brute-force NN: landmark -> nearest cloud point
+        # dense brute-force NN (landmark -> nearest cloud point); fine at
+        # keyframe scale: max_landmarks x cloud points ~ 512 x few-1000
         d2 = ((cand[:, None, :] - pts_w[None, :, :]) ** 2).sum(-1)
         j = d2.argmin(1)
         hit = d2[np.arange(cand.shape[0]), j] < radius * radius
