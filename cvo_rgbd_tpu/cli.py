@@ -74,6 +74,46 @@ def _cmd_stitch(args):
     print(f"{pos.shape[0]} points -> {args.output}")
 
 
+def _cmd_slam(args):
+    import numpy as np
+
+    from cvo_rgbd_tpu import MATLAB_PARAMS, pad_cloud
+    from cvo_rgbd_tpu.batch import load_pcd_dir
+    from cvo_rgbd_tpu.core.cloud import round_up
+    from cvo_rgbd_tpu.io.tum import write_trajectory_line
+    from cvo_rgbd_tpu.slam import KeyframeSlam, SlamConfig
+
+    clouds = load_pcd_dir(args.directory, grid=args.grid)
+    if not clouds:
+        raise SystemExit(f"no .pcd files in {args.directory}")
+    cap = round_up(max(p.shape[0] for _, p, _ in clouds))
+    slam = KeyframeSlam(MATLAB_PARAMS, SlamConfig())
+    for i, (_, p_, c_) in enumerate(clouds):
+        slam.process(i, pad_cloud(p_, c_, capacity=cap))
+    poses, kf_nodes = slam.solve()
+    print(f"{len(clouds)} frames, {len(slam.keyframes)} keyframes, "
+          f"{len(slam.loop_edges)} loop closures")
+    if args.refine:
+        out = slam.refine_map(kf_poses=kf_nodes)
+        if out is None:
+            print("refine: too few correspondences, skipped")
+        else:
+            kf_ba, landmarks, costs = out
+            print(f"refine: BA cost {float(costs[0]):.3e} -> "
+                  f"{float(costs[-1]):.3e}, {landmarks.shape[0]} landmarks")
+            corr = {k.index: np.asarray(kf_ba[i]) @ np.linalg.inv(
+                np.asarray(kf_nodes[i])) for i, k in enumerate(slam.keyframes)}
+            poses = [
+                corr.get(slam.keyframes[slam.frame_keyframe[i]].index,
+                         np.eye(4)) @ pose
+                for i, pose in enumerate(poses)
+            ]
+    with open(args.output, "w") as fh:
+        for (name, _, _), pose in zip(clouds, poses):
+            write_trajectory_line(fh, name.removesuffix(".pcd"), pose)
+    print(f"trajectory -> {args.output}")
+
+
 def _cmd_ate(args):
     from cvo_rgbd_tpu.evaluation import ate_rmse
     from cvo_rgbd_tpu.io.tum import read_trajectory
@@ -124,7 +164,8 @@ def main(argv=None):
     pr.add_argument("--max-frames", type=int)
     pr.add_argument("--checkpoint")
     pr.add_argument("--num-want", type=int, default=3000)
-    pr.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    pr.add_argument("--backend", default="xla",
+                    choices=["xla", "pallas", "fused"])
     pr.add_argument("--no-native-io", action="store_true",
                     help="disable the C++ prefetch loader")
     pr.add_argument("--batch", type=int, default=1,
@@ -143,6 +184,16 @@ def main(argv=None):
     pst.add_argument("--grid", type=float, default=0.05)
     pst.add_argument("--merge-grid", type=float, default=0.01)
     pst.set_defaults(fn=_cmd_stitch)
+
+    psl = sub.add_parser(
+        "slam", help="keyframe SLAM (loop closure + pose graph) over a pcd dir"
+    )
+    psl.add_argument("directory")
+    psl.add_argument("--output", default="slam_poses_qt.txt")
+    psl.add_argument("--grid", type=float, default=0.05)
+    psl.add_argument("--refine", action="store_true",
+                     help="bundle-adjust the keyframe map after the pose graph")
+    psl.set_defaults(fn=_cmd_slam)
 
     pa = sub.add_parser("evaluate-ate", help="ATE RMSE of a trajectory")
     pa.add_argument("groundtruth")

@@ -41,3 +41,24 @@ def test_associate_cli(tmp_path, capsys):
 def test_unknown_command_errors():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+def test_slam_cli(tmp_path, capsys, rng):
+    """slam subcommand: synthetic pcd dir -> TUM trajectory file."""
+    from cvo_rgbd_tpu.io.export import write_pcd
+
+    world = (rng.standard_normal((300, 3)) * 0.5 + [0, 0, 2.0]).astype(np.float32)
+    col = (rng.random((300, 3)) * 255).astype(np.float32)
+    for i in range(3):
+        T = np.eye(4); T[:3, 3] = [0.02 * i, 0, 0]
+        local = (world - T[:3, 3]) @ T[:3, :3]
+        write_pcd(str(tmp_path / f"10{i}.500000.pcd"), local, col)
+    out = tmp_path / "traj.txt"
+    cli.main(["slam", str(tmp_path), "--output", str(out), "--grid", "0.3"])
+    printed = capsys.readouterr().out
+    assert "keyframes" in printed
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) == 3
+    assert lines[0].startswith("100.500000 ")
+    # 8 TUM fields per line
+    assert all(len(l.split()) == 8 for l in lines)
