@@ -98,15 +98,19 @@ def make_align_step(p, adaptive: bool):
         from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
 
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
-             self_grams=None):
+             ck_caches=None):
         tf_R, tf_T = se3.se3_inv(state.R, state.T)
         tf = se3.make_se3(tf_R, tf_T)
         y_pos = transform_cloud(tf_R, tf_T, moving.positions)
 
         if use_pallas:
+            # ck_caches = (ck_xy, ck_xx, ck_yy) color-kernel tiles from
+            # ops.color_gram — loop-invariant (features never transform,
+            # cvo.cpp:143-153), computed once per align in `align()`
+            ck_xy, ck_xx, ck_yy = ck_caches if ck_caches else (None,) * 3
             omega, v, wsq_xy, nnz_xy, _ = fused_flow(
                 fixed.positions, fixed.features, fixed.mask,
-                y_pos, moving.features, moving.mask, state.ell, p=p,
+                y_pos, moving.features, moving.mask, state.ell, ck_xy, p=p,
             )
             if adaptive:
                 # self-kernel reductions reuse the same fused pass
@@ -114,11 +118,12 @@ def make_align_step(p, adaptive: bool):
                 _, _, wsq_xx, nnz_xx, _ = fused_flow(
                     fixed.positions, fixed.features, fixed.mask,
                     fixed.positions, fixed.features, fixed.mask,
-                    state.ell, p=p,
+                    state.ell, ck_xx, p=p,
                 )
                 _, _, wsq_yy, nnz_yy, _ = fused_flow(
                     y_pos, moving.features, moving.mask,
-                    y_pos, moving.features, moving.mask, state.ell, p=p,
+                    y_pos, moving.features, moving.mask, state.ell, ck_yy,
+                    p=p,
                 )
                 ell3 = state.ell ** 3
                 numer = (wsq_yy - 2.0 * wsq_xy + wsq_xx) / ell3
@@ -131,7 +136,7 @@ def make_align_step(p, adaptive: bool):
             B, C, D, E = fused_step_coeffs(
                 fixed.positions, fixed.features, fixed.mask,
                 y_pos, moving.features, moving.mask,
-                state.ell, omega, v, p=p,
+                state.ell, omega, v, ck_xy, p=p,
             )
             roots, valid = cubic_roots(4.0 * E, 3.0 * D, 2.0 * C, B)
             step = min_positive_root(roots, valid, p.min_step, p.max_step)
@@ -225,6 +230,30 @@ def make_align_step(p, adaptive: bool):
     return body
 
 
+def build_ck_caches(p, adaptive, fixed: PointCloud, moving: PointCloud):
+    """Loop-invariant color-kernel caches for the pallas backend (None
+    otherwise): (ck_xy, ck_xx, ck_yy), self-kernels only for acvo."""
+    if getattr(p, "backend", "xla") != "pallas":
+        return None
+    from cvo_rgbd_tpu.ops import color_gram
+
+    ck_xy = color_gram(
+        fixed.positions, fixed.features, fixed.mask,
+        moving.positions, moving.features, moving.mask, p=p,
+    )
+    if not adaptive:
+        return (ck_xy, None, None)
+    ck_xx = color_gram(
+        fixed.positions, fixed.features, fixed.mask,
+        fixed.positions, fixed.features, fixed.mask, p=p,
+    )
+    ck_yy = color_gram(
+        moving.positions, moving.features, moving.mask,
+        moving.positions, moving.features, moving.mask, p=p,
+    )
+    return (ck_xy, ck_xx, ck_yy)
+
+
 def align(
     p,
     fixed: PointCloud,
@@ -272,12 +301,13 @@ def align(
     )
 
     body = make_align_step(p, adaptive)
+    ck_caches = build_ck_caches(p, adaptive, fixed, moving)
 
     def cond_fn(s: AlignState):
         return (s.k < p.max_iter) & ~s.converged
 
     def body_fn(s: AlignState):
-        return body(s, fixed, moving, ci)
+        return body(s, fixed, moving, ci, ck_caches)
 
     final = jax.lax.while_loop(cond_fn, body_fn, init)
 

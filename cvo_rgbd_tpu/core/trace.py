@@ -20,6 +20,7 @@ from cvo_rgbd_tpu import se3
 from cvo_rgbd_tpu.core import gram as gram_mod
 from cvo_rgbd_tpu.core.registration import (
     AlignState,
+    build_ck_caches,
     make_align_step,
 )
 from cvo_rgbd_tpu.params import AcvoParams
@@ -64,12 +65,14 @@ def align_trace(p, fixed, moving, n_iters: int):
         v=jnp.zeros(3, jnp.float32),
     )
 
+    ck_caches = build_ck_caches(p, adaptive, fixed, moving)
+
     def scan_body(state, _):
         prev_R, prev_T = state.R, state.T
         new = jax.lax.cond(
             state.converged,
             lambda s: s,
-            lambda s: body(s, fixed, moving, ci),
+            lambda s: body(s, fixed, moving, ci, ck_caches),
             state,
         )
         dR = jnp.swapaxes(prev_R, -1, -2) @ new.R

@@ -1,3 +1,3 @@
-from cvo_rgbd_tpu.ops.pallas_gram import fused_flow, fused_step_coeffs
+from cvo_rgbd_tpu.ops.pallas_gram import color_gram, fused_flow, fused_step_coeffs
 
-__all__ = ["fused_flow", "fused_step_coeffs"]
+__all__ = ["color_gram", "fused_flow", "fused_step_coeffs"]

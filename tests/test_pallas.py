@@ -119,3 +119,32 @@ def test_align_pallas_adaptive_matches_xla(rng):
         np.asarray(got.tf), np.asarray(ref.tf), atol=5e-5
     )
     assert abs(int(got.iterations) - int(ref.iterations)) <= 1
+
+
+def test_color_gram_cache_equivalence(rng):
+    """fused_flow/fused_step with a color_gram cache must reproduce the
+    recompute-every-call results bit-for-bit (same exp, same gates)."""
+    import jax.numpy as jnp
+
+    from cvo_rgbd_tpu.ops import color_gram
+
+    p = CvoParams()
+    x, y = _pair(rng, cap=256)
+    ell = jnp.asarray(0.1, jnp.float32)
+    ck = color_gram(x.positions, x.features, x.mask,
+                    y.positions, y.features, y.mask, p=p)
+    ref = fused_flow(x.positions, x.features, x.mask,
+                     y.positions, y.features, y.mask, ell, p=p)
+    got = fused_flow(x.positions, x.features, x.mask,
+                     y.positions, y.features, y.mask, ell, ck, p=p)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    omega, v = ref[0], ref[1]
+    ref_s = fused_step_coeffs(x.positions, x.features, x.mask,
+                              y.positions, y.features, y.mask, ell,
+                              omega, v, p=p)
+    got_s = fused_step_coeffs(x.positions, x.features, x.mask,
+                              y.positions, y.features, y.mask, ell,
+                              omega, v, ck, p=p)
+    for a, b in zip(ref_s, got_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
