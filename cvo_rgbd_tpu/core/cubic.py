@@ -43,7 +43,12 @@ def cubic_roots(a, b, c, d):
         jnp.maximum(jnp.abs(a), jnp.abs(b)),
         jnp.maximum(jnp.abs(c), jnp.abs(d)),
     )
-    tiny = 1e-7 * jnp.maximum(coef_scale, 1e-30)
+    # degree-degradation threshold: must be far below any coefficient
+    # ratio fp32 can represent — a leading coefficient 1e-6 of the
+    # others still produces a genuine (huge) third root, and the tau
+    # rescale + backward deflation below handle that spread exactly;
+    # classifying it as a quadratic silently drops the root
+    tiny = 1e-12 * jnp.maximum(coef_scale, 1e-30)
     is_cubic = jnp.abs(a) > tiny
     is_quad = ~is_cubic & (jnp.abs(b) > tiny)
     is_lin = ~is_cubic & ~is_quad & (jnp.abs(c) > tiny)

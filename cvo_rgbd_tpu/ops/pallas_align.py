@@ -211,7 +211,7 @@ def _cubic_min_positive(a, b, c, d, min_step, max_step):
     else min_step, clamped to max_step (cvo.cpp:298-307)."""
     aa, ab, ac, ad = jnp.abs(a), jnp.abs(b), jnp.abs(c), jnp.abs(d)
     coef_scale = jnp.maximum(jnp.maximum(aa, ab), jnp.maximum(ac, ad))
-    tiny = 1e-7 * jnp.maximum(coef_scale, 1e-30)
+    tiny = 1e-12 * jnp.maximum(coef_scale, 1e-30)  # see core.cubic
     is_cubic = aa > tiny
     is_quad = ~is_cubic & (ab > tiny)
     is_lin = ~is_cubic & ~is_quad & (ac > tiny)

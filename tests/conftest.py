@@ -28,6 +28,12 @@ import pytest  # noqa: E402
 assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+@pytest.fixture()
+def rng(request):
+    """Per-test rng seeded from the test id: draws are deterministic
+    AND independent of which other tests ran first.  (A session-scoped
+    rng coupled every test to suite composition — adding a test shifted
+    all downstream draws and made unrelated tests flaky.)"""
+    import zlib
+
+    return np.random.default_rng(zlib.adler32(request.node.nodeid.encode()))
