@@ -49,7 +49,7 @@ def main():
     import jax
 
     from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit
-    from cvo_rgbd_tpu.core.cloud import PointCloud
+    from cvo_rgbd_tpu.core.cloud import stack_clouds
     from cvo_rgbd_tpu.parallel import align_batched
 
     clouds = load_clouds()
@@ -61,14 +61,8 @@ def main():
     # expose per-pair device throughput; replication does not reduce
     # the per-pair work (every lane runs the full align loop)
     REPLICATE = 16
-
-    def stack(cs):
-        cs = cs * REPLICATE
-        return PointCloud(*(np.stack([np.asarray(x) for x in leaf])
-                            for leaf in zip(*cs)))
-
-    fixed_b = stack([f for f, _ in pairs])
-    moving_b = stack([m for _, m in pairs])
+    fixed_b = stack_clouds([f for f, _ in pairs], repeat=REPLICATE)
+    moving_b = stack_clouds([m for _, m in pairs], repeat=REPLICATE)
     nbatch = len(pairs) * REPLICATE
 
     # warmup / compile both paths

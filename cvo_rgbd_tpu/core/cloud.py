@@ -38,6 +38,17 @@ def round_up(n: int, m: int = LANE) -> int:
     return ((n + m - 1) // m) * m
 
 
+def stack_clouds(clouds, repeat: int = 1) -> PointCloud:
+    """Stack equal-capacity PointClouds into a leading batch axis
+    (optionally tiling the list `repeat` times) — the input format of
+    `parallel.align_batched`."""
+    clouds = list(clouds) * repeat
+    return PointCloud(
+        *(np.stack([np.asarray(getattr(c, f)) for c in clouds])
+          for f in PointCloud._fields)
+    )
+
+
 def pad_cloud(
     positions,
     features=None,

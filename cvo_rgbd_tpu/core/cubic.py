@@ -47,7 +47,12 @@ def cubic_roots(a, b, c, d):
     # ratio fp32 can represent — a leading coefficient 1e-6 of the
     # others still produces a genuine (huge) third root, and the tau
     # rescale + backward deflation below handle that spread exactly;
-    # classifying it as a quadratic silently drops the root
+    # classifying it as a quadratic silently drops the root.
+    # Tradeoff acknowledged: when `a` is pure cancellation noise the
+    # huge ~-b/a root is noise too (it can turn a no-positive-root
+    # min_step case into max_step) — but that matches the reference,
+    # whose companion matrix divides by the leading coefficient
+    # unconditionally (cvo.cpp:53-69) and would surface the same root.
     tiny = 1e-12 * jnp.maximum(coef_scale, 1e-30)
     is_cubic = jnp.abs(a) > tiny
     is_quad = ~is_cubic & (jnp.abs(b) > tiny)

@@ -111,9 +111,10 @@ def _gn_step(nodes, edge_i, edge_j, edge_z, edge_w, damping):
     bd = b.reshape(6 * n)
     delta = jnp.linalg.solve(Hd, -bd).reshape(n, 6)
 
-    # right-multiplicative update X <- X exp(delta)
+    # right-multiplicative update X <- X exp(delta); pinned fp32 — the
+    # bf16 matmul default biases pose chains at mm level (CLAUDE.md)
     dX = se3.exp_se3(delta)
-    new_nodes = nodes @ dX
+    new_nodes = jnp.matmul(nodes, dX, precision=jax.lax.Precision.HIGHEST)
     cost = jnp.sum(edge_w * jnp.sum(r * r, axis=-1))
     return new_nodes, cost
 

@@ -232,8 +232,13 @@ def make_align_step(p, adaptive: bool):
 
 def build_ck_caches(p, adaptive, fixed: PointCloud, moving: PointCloud):
     """Loop-invariant color-kernel caches for the pallas backend (None
-    otherwise): (ck_xy, ck_xx, ck_yy), self-kernels only for acvo."""
-    if getattr(p, "backend", "xla") != "pallas":
+    otherwise): (ck_xy, ck_xx, ck_yy), self-kernels only for acvo.
+
+    Each cache is an [N,M] f32 in HBM per pair (per batched lane under
+    vmap) — `p.ck_cache=False` opts out when memory-bound."""
+    if getattr(p, "backend", "xla") != "pallas" or not getattr(
+        p, "ck_cache", True
+    ):
         return None
     from cvo_rgbd_tpu.ops import color_gram
 
@@ -270,12 +275,19 @@ def align(
     adaptive = isinstance(p, AcvoParams)
     if getattr(p, "backend", "xla") == "fused":
         # whole-loop Pallas mega-kernel (ops/pallas_align.py); clouds
-        # stay VMEM-resident and the while_loop runs on scalar carries
-        if adaptive:
-            raise ValueError("backend='fused' does not support AcvoParams")
-        from cvo_rgbd_tpu.ops.pallas_align import align_fused
+        # stay VMEM-resident and the while_loop runs on scalar carries.
+        # Problems the kernel cannot hold (adaptive params, clouds
+        # beyond VMEM, mismatched feature layout) fall back to the
+        # standard per-iteration backends.
+        import dataclasses
 
-        return align_fused(p, fixed, moving, R0, T0)
+        from cvo_rgbd_tpu.ops.pallas_align import align_fused, fused_eligible
+
+        if fused_eligible(p, fixed, moving):
+            return align_fused(p, fixed, moving, R0, T0)
+        p = dataclasses.replace(
+            p, backend="pallas" if p.color_mode == "se" else "xla"
+        )
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
     T0 = jnp.zeros(3, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)

@@ -42,6 +42,15 @@ def align_trace(p, fixed, moving, n_iters: int):
     (final_state, IterRecord stacked over iterations).
     """
     adaptive = isinstance(p, AcvoParams)
+    if getattr(p, "backend", "xla") == "fused":
+        # the mega-kernel runs its loop inside one Pallas program and
+        # cannot emit per-iteration records; trace the closest
+        # per-iteration backend instead (documented, not silent)
+        import dataclasses
+
+        p = dataclasses.replace(
+            p, backend="pallas" if p.color_mode == "se" else "xla"
+        )
     body = make_align_step(p, adaptive)
 
     if p.color_mode == "linear":

@@ -14,7 +14,6 @@ import time
 
 import numpy as np
 
-from cvo_rgbd_tpu.core.cloud import PointCloud
 from cvo_rgbd_tpu.frontend import make_frontend
 from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
 from cvo_rgbd_tpu.odometry import load_image_pair
@@ -22,11 +21,7 @@ from cvo_rgbd_tpu.params import CvoParams
 from cvo_rgbd_tpu.parallel import align_batched
 
 
-def _stack(clouds):
-    return PointCloud(
-        *(np.stack([np.asarray(getattr(c, f)) for c in clouds])
-          for f in ("positions", "features", "mask"))
-    )
+from cvo_rgbd_tpu.core.cloud import stack_clouds as _stack
 
 
 def run_multiseq(

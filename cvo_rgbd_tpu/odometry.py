@@ -246,11 +246,7 @@ def run_odometry_batched(
         clouds.append(frontend(rgb, dep))
     n_pairs = len(clouds) - 1
 
-    def stack(items):
-        return PointCloud(
-            *(np.stack([np.asarray(getattr(c, f)) for c in items])
-              for f in ("positions", "features", "mask"))
-        )
+    from cvo_rgbd_tpu.core.cloud import stack_clouds as stack
 
     rels = []
     iters = []

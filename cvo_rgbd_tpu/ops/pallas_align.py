@@ -550,6 +550,23 @@ def _make_kernel(p, nfeat):
     return kernel
 
 
+def fused_eligible(p, fixed, moving) -> bool:
+    """True when `align_fused` can run this problem: non-adaptive
+    params, lane-aligned capacities, VMEM-size pair count, and a
+    feature layout matching the color mode.  `core.registration.align`
+    uses this to fall back to the standard backends otherwise."""
+    from cvo_rgbd_tpu.params import AcvoParams
+
+    if isinstance(p, AcvoParams):
+        return False
+    n, m = fixed.positions.shape[0], moving.positions.shape[0]
+    if n % 8 or m % 128 or n * m > (1 << 20):
+        return False
+    if p.color_mode == "linear" and fixed.features.shape[1] != 3:
+        return False
+    return True
+
+
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
     """Single-kernel align; drop-in for core.registration.align on

@@ -155,7 +155,7 @@ def _schur_step(poses, landmarks, acc, damping):
     dl = -jnp.matmul(Hll_inv, (b_l + Hlp_dp)[..., None],
                      precision=_HI)[..., 0]
 
-    new_poses = poses @ se3.exp_se3(dp)
+    new_poses = jnp.matmul(poses, se3.exp_se3(dp), precision=_HI)
     new_landmarks = landmarks + dl
     return new_poses, new_landmarks, cost
 

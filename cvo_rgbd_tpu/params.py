@@ -39,8 +39,14 @@ class CvoParams:
     # inner product, precomputed once (rkhs_se3_registration.m:40-53).
     color_mode: str = "se"
     # compute backend for the inner loop: "xla" (dense masked Gram in
-    # HBM) or "pallas" (fused tile kernels, Gram never materialized).
+    # HBM), "pallas" (fused tile kernels, Gram never materialized), or
+    # "fused" (the whole align loop as one Pallas kernel; problems it
+    # cannot hold fall back to pallas/xla).
     backend: str = "xla"
+    # pallas backend only: cache the loop-invariant color kernel in HBM
+    # ([N,M] f32 per pair — 1.2-1.3x faster per iteration, but O(N*M)
+    # HBM per batched lane; disable when memory-bound).
+    ck_cache: bool = True
     # line-search reduction: "factored" = moment-factored single matmul
     # (no [N,M] intermediates, centered for fp32 stability); "direct" =
     # literal per-pair field evaluation (cvo.cpp:249-289).
@@ -88,6 +94,7 @@ class AcvoParams:
     # against the reference binaries.
     yy_quirk: bool = False
     backend: str = "xla"  # "xla" | "pallas" (yy_quirk needs "xla")
+    ck_cache: bool = True  # see CvoParams.ck_cache (x3 caches for acvo)
     step_mode: str = "factored"  # see CvoParams.step_mode
 
 

@@ -66,21 +66,31 @@ def canny_edges(gray, low=None, high=None, sigma=1.0):
 
     strong = nms >= high
     weak = (nms >= low) & ~strong
-    # hysteresis: grow strong edges into connected weak pixels
-    edges = strong.copy()
-    changed = True
-    while changed:
-        grown = np.pad(edges, 1)
-        neigh = np.zeros(edges.shape, bool)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy or dx:
-                    neigh |= grown[1 + dy : 1 + dy + edges.shape[0],
-                                   1 + dx : 1 + dx + edges.shape[1]]
-        new = edges | (weak & neigh)
-        changed = bool((new != edges).any())
-        edges = new
-    return edges
+    # hysteresis: keep weak pixels 8-connected (through weak/strong) to
+    # a strong pixel — one connected-components pass, not an iterative
+    # grow (which is O(H*W*chain_length))
+    try:
+        from scipy import ndimage
+
+        labels, _ = ndimage.label(strong | weak, structure=np.ones((3, 3)))
+        keep = np.unique(labels[strong])
+        keep = keep[keep > 0]
+        return np.isin(labels, keep) & (strong | weak)
+    except ImportError:  # pragma: no cover - scipy is in the base image
+        edges = strong.copy()
+        changed = True
+        while changed:
+            grown = np.pad(edges, 1)
+            neigh = np.zeros(edges.shape, bool)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy or dx:
+                        neigh |= grown[1 + dy : 1 + dy + edges.shape[0],
+                                       1 + dx : 1 + dx + edges.shape[1]]
+            new = edges | (weak & neigh)
+            changed = bool((new != edges).any())
+            edges = new
+        return edges
 
 
 def edge_filter(rgb, positions, colors=None, low=None, high=None,

@@ -15,17 +15,14 @@ def main():
     import jax
 
     from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit
-    from cvo_rgbd_tpu.core.cloud import PointCloud
+    from cvo_rgbd_tpu.core.cloud import PointCloud, stack_clouds
     from cvo_rgbd_tpu.parallel import align_batched
 
     clouds = bench.load_clouds()
     pairs = list(zip(clouds[:-1], clouds[1:]))
     npairs = len(pairs)
 
-    def stack(cs):
-        return PointCloud(*(np.stack([np.asarray(x) for x in leaf])
-                            for leaf in zip(*cs)))
-
+    stack = stack_clouds
     fb = stack([f for f, _ in pairs])
     mb = stack([m for _, m in pairs])
 

@@ -87,3 +87,42 @@ def test_fused_via_backend_param(rng):
     np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
                                atol=2e-5)
     assert int(got.iterations) == int(ref.iterations)
+
+
+def test_fused_fallback_routes_ineligible_problems(rng):
+    """backend='fused' on problems the kernel cannot hold must fall
+    back to the standard backends instead of raising (the CLI default
+    num_want=3000 exceeds the VMEM pair budget)."""
+    import dataclasses
+
+    from cvo_rgbd_tpu import align_jit
+
+    # oversize: capacity 2048 -> 4M pairs > 1<<20
+    x, y = _pair(rng, 5, n=300, cap=2048)
+    p = CvoParams(max_iter=30, backend="fused")
+    ref = align_jit(CvoParams(max_iter=30, backend="pallas"), x, y)
+    got = align_jit(p, x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=2e-5)
+
+    # adaptive params also fall back (to pallas)
+    xa, ya = _pair(rng, 5)
+    pa = AcvoParams(max_iter=20, backend="fused")
+    ref_a = align_jit(AcvoParams(max_iter=20, backend="pallas"), xa, ya)
+    got_a = align_jit(pa, xa, ya)
+    np.testing.assert_allclose(np.asarray(got_a.tf), np.asarray(ref_a.tf),
+                               atol=2e-5)
+
+
+def test_ck_cache_opt_out_matches(rng):
+    """ck_cache=False (memory-bound opt-out) is numerically identical."""
+    import dataclasses
+
+    from cvo_rgbd_tpu import align_jit
+
+    x, y = _pair(rng, 5)
+    on = align_jit(CvoParams(max_iter=30, backend="pallas"), x, y)
+    off = align_jit(CvoParams(max_iter=30, backend="pallas",
+                              ck_cache=False), x, y)
+    np.testing.assert_array_equal(np.asarray(on.tf), np.asarray(off.tf))
+    assert int(on.iterations) == int(off.iterations)
