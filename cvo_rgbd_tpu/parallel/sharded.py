@@ -11,10 +11,11 @@ all-reduces (SURVEY.md section 2.6): omega/v (cvo.cpp:201-204), B..E
   while_loop state stays replicated because every device sees the same
   psum results.
 - `align_ring` — point-cloud "sequence parallelism" (the ring-attention
-  analog, SURVEY.md section 5): both clouds shard; moving-cloud blocks
-  rotate around the ring via `ppermute` so no device ever holds the
-  whole moving cloud.  Two sweeps per iteration (flow needs omega
-  before the line-search sweep).
+  analog, SURVEY.md section 5): both clouds shard; cloud blocks rotate
+  around the ring via `ppermute` so no device ever holds the whole
+  moving cloud.  Two sweeps per iteration (flow needs omega before the
+  line-search sweep); adaptive params add a third sweep for the
+  Axx/Ayy self-kernel partials of dl.
 - `align_batched` — batch DP: vmap the single-pair align over a batch
   of frame pairs, sharded over axis `dp` (multi-sequence odometry).
 """
@@ -53,6 +54,15 @@ from cvo_rgbd_tpu.params import AcvoParams
 
 
 def _se_gram(p, xp, xf, xm, yp, yf, ym, ell):
+    """Per-(row-shard, block) Gram evaluation, dispatching on the
+    params' color mode exactly like core.registration._gram.  The
+    linear-mode CI block is recomputed per call — loop-invariant work,
+    but tiny (one [n,m] matmul) next to the kernel itself."""
+    if p.color_mode == "linear":
+        ci = gram_mod.linear_color_gram(xf, yf, p.color_scale)
+        return gram_mod.matlab_gram(
+            xp, xm, yp, ym, ci, ell, sigma=p.sigma, sp_thres=p.sp_thres,
+        )
     return gram_mod.se_gram(
         xp, xf, xm, yp, yf, ym, ell,
         sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
@@ -265,22 +275,34 @@ def train_step_2d(p, mesh, fixed_b: PointCloud, moving_b: PointCloud,
 
 def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                axis: str = "sp") -> AlignResult:
-    """Both clouds sharded over `axis`; moving blocks ride the ring.
+    """Both clouds sharded over `axis`; cloud blocks ride the ring.
 
     Per iteration: sweep 1 rotates moving blocks to accumulate the flow
-    partials; sweep 2 (after omega/v are known) rotates again for the
+    partials (plus, for adaptive params, the Axy weighted-distance/nnz
+    partials); for adaptive params sweep 1b rotates fixed *and* moving
+    blocks together against the resident row-shards for the Axx/Ayy
+    self-kernel partials of dl (adaptive_cvo.cpp:222-271); sweep 2
+    (after omega/v are known) rotates moving blocks again for the
     line-search coefficients.  Peak per-device Gram block is
-    [N/sp, M/sp].  cvo (non-adaptive) path.
+    [N/sp, M/sp] — no device ever holds a whole cloud or a whole Gram
+    matrix.
     """
-    if isinstance(p, AcvoParams):
-        raise NotImplementedError("ring mode currently covers cvo params")
+    adaptive = isinstance(p, AcvoParams)
     nsp = mesh.shape[axis]
     if fixed.capacity % nsp or moving.capacity % nsp:
         raise ValueError("cloud capacities must divide the ring size")
 
     def inner(xp, xf, xm, yp0_blk, yf_blk, ym_blk):
-        def ring_sweep(carry_init, blk_fn):
-            """Rotate (yp, yf, ym) blocks through all devices."""
+        if adaptive:
+            # total valid fixed points + this shard's global row base in
+            # the moving cloud (P(axis) shards are contiguous), for the
+            # yy_quirk row gate (adaptive_cvo.cpp:190/256)
+            num_fixed = jax.lax.psum(jnp.sum(xm), axis)
+            blk_m = yp0_blk.shape[0]
+            y_row_base = jax.lax.axis_index(axis) * blk_m
+
+        def ring_sweep(carry_init, payload, blk_fn):
+            """Rotate `payload` blocks through all devices."""
             perm = [(i, (i + 1) % nsp) for i in range(nsp)]
 
             def step_fn(i, val):
@@ -292,26 +314,81 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                 return carry, blk
 
             return jax.lax.fori_loop(
-                0, nsp, step_fn, (carry_init, (yp0_blk, yf_blk, ym_blk))
+                0, nsp, step_fn, (carry_init, payload)
             )[0]
+
+        y_payload = (yp0_blk, yf_blk, ym_blk)
 
         def body(state):
             tf_R, tf_T = se3.se3_inv(state.R, state.T)
             tf = se3.make_se3(tf_R, tf_T)
 
-            # sweep 1: flow partials
+            # sweep 1: flow partials (+ Axy dl partials when adaptive)
             def flow_blk(carry, blk):
-                om, vv = carry
+                om, vv, sxy, nxy = carry
                 ypb = transform_cloud(tf_R, tf_T, blk[0])
                 A = _se_gram(p, xp, xf, xm, ypb, blk[1], blk[2], state.ell)
                 o_l, v_l = flow_mod.flow(A, xp, ypb, c=p.c, d=p.d)
-                return (om + o_l, vv + v_l)
+                if adaptive:
+                    sxy = sxy + flow_mod.weighted_sqdist_sum(A, xp, ypb)
+                    nxy = nxy + flow_mod.nnz(A)
+                return (om + o_l, vv + v_l, sxy, nxy)
 
-            om, vv = ring_sweep(
-                (jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32)), flow_blk
+            om, vv, sxy, nxy = ring_sweep(
+                (jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                 jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                y_payload, flow_blk,
             )
             omega = jax.lax.psum(om, axis)
             v = jax.lax.psum(vv, axis)
+
+            if adaptive:
+                # sweep 1b: self-kernel partials.  Rows stay resident
+                # (x row-shard; transformed y block), columns rotate.
+                yp_rows = transform_cloud(tf_R, tf_T, yp0_blk)
+
+                def adapt_blk(carry, blk):
+                    sxx, nxx, syy, nyy = carry
+                    xpb, xfb, xmb, ypb0, yfb, ymb = blk
+                    Axx = _se_gram(p, xp, xf, xm, xpb, xfb, xmb, state.ell)
+                    ypb = transform_cloud(tf_R, tf_T, ypb0)
+                    Ayy = _se_gram(
+                        p, yp_rows, yf_blk, ym_blk, ypb, yfb, ymb, state.ell
+                    )
+                    sxx = sxx + flow_mod.weighted_sqdist_sum(Axx, xp, xpb)
+                    nxx = nxx + flow_mod.nnz(Axx)
+                    nyy = nyy + flow_mod.nnz(Ayy)
+                    if p.yy_quirk:
+                        rows = y_row_base + jnp.arange(blk_m)
+                        Ayy_eff = Ayy * (rows >= num_fixed).astype(
+                            Ayy.dtype
+                        )[:, None]
+                    else:
+                        Ayy_eff = Ayy
+                    syy = syy + flow_mod.weighted_sqdist_sum(
+                        Ayy_eff, yp_rows, ypb
+                    )
+                    return (sxx, nxx, syy, nyy)
+
+                sxx, nxx, syy, nyy = ring_sweep(
+                    (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                     jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                    (xp, xf, xm) + y_payload, adapt_blk,
+                )
+                numer = (
+                    jax.lax.psum(syy, axis)
+                    - 2.0 * jax.lax.psum(sxy, axis)
+                    + jax.lax.psum(sxx, axis)
+                ) / state.ell ** 3
+                denom = (
+                    jax.lax.psum(nxx, axis)
+                    + jax.lax.psum(nyy, axis)
+                    - 2 * jax.lax.psum(nxy, axis)
+                )
+                denom = jnp.where(denom == 0, 1, denom).astype(numer.dtype)
+                dl = numer / denom
+            else:
+                dl = jnp.zeros((), jnp.float32)
 
             # sweep 2: line-search coefficients
             def step_blk(carry, blk):
@@ -324,23 +401,23 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                 return (B + Bl, C + Cl, D + Dl, E + El)
 
             zeros = tuple(jnp.zeros((), jnp.float32) for _ in range(4))
-            B, C, D, E = ring_sweep(zeros, step_blk)
+            B, C, D, E = ring_sweep(zeros, y_payload, step_blk)
             B, C, D, E = (jax.lax.psum(t, axis) for t in (B, C, D, E))
             step = _step_from_coeffs(p, B, C, D, E)
 
-            new = _integrate(
-                p, state, omega, v, step, False, jnp.zeros((), jnp.float32)
-            )
+            new = _integrate(p, state, omega, v, step, adaptive, dl)
             return new._replace(tf=tf)
 
         final = jax.lax.while_loop(
             lambda s: (s.k < p.max_iter) & ~s.converged, body,
-            _init_state(p, False),
+            _init_state(p, adaptive),
         )
         return _finish(final)
 
     spec = (P(axis, None), P(axis, None), P(axis))
-    out = jax.tree_util.tree_map(lambda _: P(), _finish(_init_state(p, False)))
+    out = jax.tree_util.tree_map(
+        lambda _: P(), _finish(_init_state(p, adaptive))
+    )
     fn = shard_map(
         inner, mesh=mesh, in_specs=spec + spec, out_specs=out, check_rep=False
     )

