@@ -276,8 +276,8 @@ def align(
     if getattr(p, "backend", "xla") == "fused":
         # whole-loop Pallas mega-kernel (ops/pallas_align.py); clouds
         # stay VMEM-resident and the while_loop runs on scalar carries.
-        # Problems the kernel cannot hold (adaptive params, clouds
-        # beyond VMEM, mismatched feature layout) fall back to the
+        # Problems the kernel cannot hold (clouds beyond VMEM, yy_quirk
+        # emulation, mismatched feature layout) fall back to the
         # standard per-iteration backends.
         import dataclasses
 
@@ -285,8 +285,10 @@ def align(
 
         if fused_eligible(p, fixed, moving):
             return align_fused(p, fixed, moving, R0, T0)
+        quirk = adaptive and p.yy_quirk
         p = dataclasses.replace(
-            p, backend="pallas" if p.color_mode == "se" else "xla"
+            p,
+            backend="pallas" if p.color_mode == "se" and not quirk else "xla",
         )
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)

@@ -48,8 +48,10 @@ def align_trace(p, fixed, moving, n_iters: int):
         # per-iteration backend instead (documented, not silent)
         import dataclasses
 
+        quirk = adaptive and p.yy_quirk
         p = dataclasses.replace(
-            p, backend="pallas" if p.color_mode == "se" else "xla"
+            p,
+            backend="pallas" if p.color_mode == "se" and not quirk else "xla",
         )
     body = make_align_step(p, adaptive)
 

@@ -27,9 +27,16 @@ store).  Scalar transcendentals (sqrt/sin/cos/acos/exp/log on SREGs)
 are used directly; `_SCALAR_TRANSCENDENTALS = False` reroutes them
 through (8, 128) VPU tiles if a backend rejects them.
 
-Scope: non-adaptive CVO, both color modes, one (N x M) Gram tile — the
-clouds must fit VMEM (N*M <= ~1M pairs).  Larger clouds and AcvoParams
-fall back to the standard backends in core.registration.
+Scope: CVO (both color modes) and adaptive CVO (se mode, correct-math
+dl — yy_quirk falls back), one (N x M) Gram tile — the clouds must fit
+VMEM (N*M <= ~1M pairs; the adaptive variant also holds the (N,N) and
+(M,M) self-kernel tiles).  Adaptive key fact: the Axx/Ayy *distance*
+matrices are rigid-transform-invariant, so they are computed once and
+live in VMEM across iterations — each iteration's self-kernels are
+just an exp of a rescaled cached tile (the reference recomputes the
+whole kd-tree pass three times per iteration, adaptive_cvo.cpp:156-160).
+Larger clouds and quirk/linear-adaptive combinations fall back to the
+standard backends in core.registration.
 """
 
 from __future__ import annotations
@@ -341,7 +348,7 @@ def _out_tile(vals):
     return out
 
 
-def _make_kernel(p, nfeat):
+def _make_kernel(p, nfeat, adaptive=False):
     """Kernel closure; every hyperparameter is baked in as a Python
     constant (p is a frozen dataclass — jit-static)."""
     linear = p.color_mode == "linear"
@@ -363,13 +370,26 @@ def _make_kernel(p, nfeat):
     inv_d = 1.0 / float(p.d)
     color_scale = float(p.color_scale) if linear else 0.0
     sp_thres = float(p.sp_thres)
-    sched = tuple(p.ell_sched)
+    if adaptive:
+        dl_step = float(p.dl_step)
+        ell_min = float(p.ell_min)
+        ell_shrink = float(p.ell_shrink)
+        ell_max_init = float(p.ell_max_init)
+    else:
+        sched = tuple(p.ell_sched)
 
     def kernel(init_ref, *refs):
         nplanes = 3 + nfeat + 1
         xrefs = refs[:nplanes]
         yrefs = refs[nplanes:2 * nplanes]
-        acc_ref = refs[2 * nplanes]
+        if adaptive:
+            # transposed orientations for the self-kernel tiles:
+            # x as (1,N) rows, y as (M,1) columns
+            xtr = refs[2 * nplanes:3 * nplanes]
+            ytr = refs[3 * nplanes:4 * nplanes]
+            acc_ref = refs[4 * nplanes]
+        else:
+            acc_ref = refs[2 * nplanes]
 
         x0, x1, x2 = (xrefs[i][:, :] for i in range(3))       # (N,1)
         xf = tuple(xrefs[3 + i][:, :] for i in range(nfeat))
@@ -392,11 +412,37 @@ def _make_kernel(p, nfeat):
             bmask = bmask & (d2c < d2_c_thres)
             ci = None
 
+        # ---- loop-invariant self-kernel tiles (adaptive) ----
+        # The Axx/Ayy position distances are rigid-transform-invariant
+        # (|Ry_i+T - (Ry_j+T)| = |y_i - y_j|), so d2xx/d2yy and the
+        # feature kernels are computed ONCE; per iteration only the
+        # ell-dependent exp remains (adaptive_cvo.cpp:156-160 redoes
+        # the whole kd-tree kernel pass for all three matrices).
+        if adaptive:
+            xr = tuple(xtr[i][:, :] for i in range(3))        # (1,N)
+            xfr = tuple(xtr[3 + i][:, :] for i in range(nfeat))
+            xmr = xtr[3 + nfeat][:, :]
+            yc = tuple(ytr[i][:, :] for i in range(3))        # (M,1)
+            yfc = tuple(ytr[3 + i][:, :] for i in range(nfeat))
+            ymc = ytr[3 + nfeat][:, :]
+
+            d2xx = (x0 - xr[0]) ** 2 + (x1 - xr[1]) ** 2 + (x2 - xr[2]) ** 2
+            d2yy = (yc[0] - y0) ** 2 + (yc[1] - y1) ** 2 + (yc[2] - y2) ** 2
+            d2c_xx = (xf[0] - xfr[0]) ** 2
+            d2c_yy = (yfc[0] - yf[0]) ** 2
+            for f in range(1, nfeat):
+                d2c_xx = d2c_xx + (xf[f] - xfr[f]) ** 2
+                d2c_yy = d2c_yy + (yfc[f] - yf[f]) ** 2
+            ck_xx = cs2 * jnp.exp(-d2c_xx * inv2cl2)
+            ck_yy = cs2 * jnp.exp(-d2c_yy * inv2cl2)
+            bmask_xx = (xm > 0) & (xmr > 0) & (d2c_xx < d2_c_thres)
+            bmask_yy = (ymc > 0) & (ym > 0) & (d2c_yy < d2_c_thres)
+
         R0 = tuple(init_ref[0, i] for i in range(9))
         T0 = tuple(init_ref[0, 9 + i] for i in range(3))
 
         def body(carry):
-            (k, conv, R, T, tf, ell, _om, _v) = carry
+            (k, conv, R, T, tf, ell, ell_max, _om, _v) = carry
 
             # update_tf (cvo.cpp:83-87): tf = [R', -R'T], row-major [3,4]
             Rt = _mat3_t(R)
@@ -423,6 +469,28 @@ def _make_kernel(p, nfeat):
                 a = kmat * ck
                 gate = (d2 < thres_c * ell * ell) & (a > sp_thres) & bmask
                 A = jnp.where(gate, a, 0.0)
+
+            # length-scale gradient dl (adaptive_cvo.cpp:222-271):
+            # dl = [S_yy - 2 S_xy + S_xx]/ell^3 / (nnz_xx + nnz_yy - 2 nnz_xy)
+            # with S_pq = sum A_pq |p_i - q_j|^2, over the cached
+            # transform-invariant self-distance tiles
+            if adaptive:
+                d2t = thres_c * ell * ell
+                a_xx = s2 * jnp.exp(-d2xx * inv2l2) * ck_xx
+                gate_xx = (d2xx < d2t) & (a_xx > sp_thres) & bmask_xx
+                Axx = jnp.where(gate_xx, a_xx, 0.0)
+                a_yy = s2 * jnp.exp(-d2yy * inv2l2) * ck_yy
+                gate_yy = (d2yy < d2t) & (a_yy > sp_thres) & bmask_yy
+                Ayy = jnp.where(gate_yy, a_yy, 0.0)
+                s_xy = jnp.sum(A * d2)
+                s_xx = jnp.sum(Axx * d2xx)
+                s_yy = jnp.sum(Ayy * d2yy)
+                n_xy = jnp.sum(jnp.where(gate, 1.0, 0.0))
+                n_xx = jnp.sum(jnp.where(gate_xx, 1.0, 0.0))
+                n_yy = jnp.sum(jnp.where(gate_yy, 1.0, 0.0))
+                denom = n_xx + n_yy - 2.0 * n_xy
+                denom = jnp.where(denom == 0.0, 1.0, denom)
+                dl = (s_yy - 2.0 * s_xy + s_xx) / (ell * ell * ell) / denom
 
             # compute_flow (cvo.cpp:164-210): masked row reductions
             Ay0 = jnp.sum(A * ty0, axis=1, keepdims=True)     # (N,1)
@@ -500,11 +568,22 @@ def _make_kernel(p, nfeat):
             stop2 = _dist_se3_scalar(dR, dT) < eps_2
             converged = stop1 | stop2
 
-            # ell schedule (cvo.cpp:408-410), frozen when converged
-            ell_new = ell
-            for thresh, val in sched:
-                ell_new = jnp.where(k > thresh, jnp.float32(val), ell_new)
-            ell_new = jnp.where(converged, ell, ell_new)
+            if adaptive:
+                # ell gradient step + shrinking ceiling + floor
+                # (adaptive_cvo.cpp:537-545)
+                ell_new = ell + dl_step * dl
+                hit = ell_new >= ell_max
+                ell_max_new = jnp.where(hit, ell_max * ell_shrink, ell_max)
+                ell_new = jnp.where(hit, ell_max * ell_shrink, ell_new)
+                ell_new = jnp.maximum(ell_new, ell_min)
+                ell_new = jnp.where(converged, ell, ell_new)
+            else:
+                # ell schedule (cvo.cpp:408-410), frozen when converged
+                ell_new = ell
+                for thresh, val in sched:
+                    ell_new = jnp.where(k > thresh, jnp.float32(val), ell_new)
+                ell_new = jnp.where(converged, ell, ell_new)
+                ell_max_new = ell_max
 
             return (
                 k + 1,
@@ -513,6 +592,7 @@ def _make_kernel(p, nfeat):
                 T_new,
                 tf_new,
                 ell_new,
+                ell_max_new,
                 om,
                 vv,
             )
@@ -535,10 +615,13 @@ def _make_kernel(p, nfeat):
             tuple(f32(v) for v in T0),
             tf_eye,
             f32(p.ell_init),
+            f32(ell_max_init if adaptive else 1e9),
             zero3,
             zero3,
         )
-        k, conv, R, T, tf, ell, om, vv = jax.lax.while_loop(cond, body, init)
+        (k, conv, R, T, tf, ell, _ell_max, om, vv) = jax.lax.while_loop(
+            cond, body, init
+        )
 
         acc_ref[:, :] = _out_tile(
             list(tf)                      # 0..11  inverse transform [R'| -R'T]
@@ -551,15 +634,23 @@ def _make_kernel(p, nfeat):
 
 
 def fused_eligible(p, fixed, moving) -> bool:
-    """True when `align_fused` can run this problem: non-adaptive
-    params, lane-aligned capacities, VMEM-size pair count, and a
-    feature layout matching the color mode.  `core.registration.align`
-    uses this to fall back to the standard backends otherwise."""
+    """True when `align_fused` can run this problem: lane-aligned
+    capacities, VMEM-size pair count, a feature layout matching the
+    color mode, and (for AcvoParams) se color mode without the yy_quirk
+    emulation plus room for the (N,N)/(M,M) self-kernel tiles.
+    `core.registration.align` uses this to fall back to the standard
+    backends otherwise."""
     from cvo_rgbd_tpu.params import AcvoParams
 
-    if isinstance(p, AcvoParams):
-        return False
     n, m = fixed.positions.shape[0], moving.positions.shape[0]
+    if isinstance(p, AcvoParams):
+        if p.yy_quirk or p.color_mode != "se":
+            return False
+        # self tiles need x as lane-dim columns too, and the three
+        # resident tile sets share the VMEM budget
+        if n % 128 or m % 128 or (n * m + n * n + m * m) > (3 << 20):
+            return False
+        return True
     if n % 8 or m % 128 or n * m > (1 << 20):
         return False
     if p.color_mode == "linear" and fixed.features.shape[1] != 3:
@@ -570,7 +661,7 @@ def fused_eligible(p, fixed, moving) -> bool:
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
     """Single-kernel align; drop-in for core.registration.align on
-    non-adaptive params with VMEM-resident clouds.
+    VMEM-resident clouds (cvo and acvo — see `fused_eligible`).
 
     Returns the same AlignResult contract (tf from the top of the last
     executed iteration, iterations = k-1, cvo.cpp:413-415).
@@ -591,21 +682,15 @@ def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
 
     from cvo_rgbd_tpu.params import AcvoParams
 
-    if isinstance(p, AcvoParams):
-        raise ValueError("backend='fused' does not support AcvoParams; "
-                         "use backend='pallas' or 'xla'")
-    interpret = _auto_interpret(interpret)
-    n, m = fixed.positions.shape[0], moving.positions.shape[0]
-    if n % 8 or m % 128:
-        raise ValueError(f"capacities ({n},{m}) must be multiples of (8,128)")
-    if n * m > (1 << 20):
+    adaptive = isinstance(p, AcvoParams)
+    if not fused_eligible(p, fixed, moving):
         raise ValueError(
-            f"clouds too large for the fused kernel ({n}x{m} pairs); "
-            "use backend='pallas' or 'xla'"
+            "problem not eligible for the fused kernel (capacity "
+            "alignment, VMEM pair budget, color/feature layout, or "
+            "yy_quirk) — use backend='pallas' or 'xla'"
         )
+    interpret = _auto_interpret(interpret)
     nfeat = int(fixed.features.shape[1])
-    if p.color_mode == "linear" and nfeat != 3:
-        raise ValueError("linear color mode expects 3 color features")
 
     R0 = (jnp.eye(3, dtype=jnp.float32) if R0 is None
           else jnp.asarray(R0, jnp.float32))
@@ -616,23 +701,28 @@ def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
     nplanes = 3 + nfeat + 1
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = (
+        list(_pack_x(fixed.positions, fixed.features, fixed.mask))
+        + list(_pack_y(moving.positions, moving.features, moving.mask))
+    )
+    if adaptive:
+        # transposed orientations for the Axx/Ayy self tiles
+        operands += list(_pack_y(fixed.positions, fixed.features, fixed.mask))
+        operands += list(_pack_x(moving.positions, moving.features, moving.mask))
     acc = pl.pallas_call(
-        _make_kernel(p, nfeat),
-        in_specs=[smem] + [vmem] * (2 * nplanes),
+        _make_kernel(p, nfeat, adaptive),
+        in_specs=[smem] + [vmem] * len(operands),
         out_specs=vmem,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         # the default 16 MB *scoped* vmem budget undercounts what v5e
         # actually has; the iteration body keeps ~10 (N,M) temporaries
-        # live (A, d2, the 4 line-search fields, dotfield scratch)
+        # live (A, d2, the 4 line-search fields, dotfield scratch),
+        # plus for adaptive the cached self-distance/color tiles
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        init,
-        *_pack_x(fixed.positions, fixed.features, fixed.mask),
-        *_pack_y(moving.positions, moving.features, moving.mask),
-    )
+    )(init, *operands)
 
     row0 = acc[0]
     tf = jnp.concatenate([

@@ -26,6 +26,7 @@ def _pair(rng, nfeat, n=200, cap=256):
 @pytest.mark.parametrize("params,nfeat", [
     (CvoParams(max_iter=60), 5),
     (MATLAB_PARAMS, 3),
+    (AcvoParams(max_iter=60), 5),
 ])
 def test_fused_matches_xla(rng, params, nfeat):
     x, y = _pair(rng, nfeat)
@@ -35,7 +36,11 @@ def test_fused_matches_xla(rng, params, nfeat):
                                atol=2e-5)
     assert int(got.iterations) == int(ref.iterations)
     assert bool(got.converged) == bool(ref.converged)
-    np.testing.assert_allclose(float(got.ell), float(ref.ell), atol=1e-6)
+    # cvo ell comes off a fixed schedule (exact); adaptive ell is a
+    # per-iteration dl accumulation — the kernel's direct (x-y)^2
+    # distances round differently from the XLA matmul-factored form
+    ell_tol = 5e-4 if isinstance(params, AcvoParams) else 1e-6
+    np.testing.assert_allclose(float(got.ell), float(ref.ell), atol=ell_tol)
 
 
 def test_fused_warm_start(rng):
@@ -66,10 +71,10 @@ def test_fused_empty_moving(rng):
     assert np.isfinite(np.asarray(res.tf)).all()
 
 
-def test_fused_rejects_adaptive_and_oversize(rng):
+def test_fused_rejects_quirk_and_oversize(rng):
     x, y = _pair(rng, 5)
     with pytest.raises((ValueError, TypeError)):
-        align_fused(AcvoParams(), x, y, interpret=True)
+        align_fused(AcvoParams(yy_quirk=True), x, y, interpret=True)
     big = pad_cloud(np.zeros((0, 3), np.float32),
                     np.zeros((0, 5), np.float32), capacity=2048)
     with pytest.raises(ValueError):
@@ -105,10 +110,11 @@ def test_fused_fallback_routes_ineligible_problems(rng):
     np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
                                atol=2e-5)
 
-    # adaptive params also fall back (to pallas)
+    # the yy_quirk emulation falls back (to xla — the only backend
+    # implementing it)
     xa, ya = _pair(rng, 5)
-    pa = AcvoParams(max_iter=20, backend="fused")
-    ref_a = align_jit(AcvoParams(max_iter=20, backend="pallas"), xa, ya)
+    pa = AcvoParams(max_iter=20, backend="fused", yy_quirk=True)
+    ref_a = align_jit(AcvoParams(max_iter=20, yy_quirk=True), xa, ya)
     got_a = align_jit(pa, xa, ya)
     np.testing.assert_allclose(np.asarray(got_a.tf), np.asarray(ref_a.tf),
                                atol=2e-5)
