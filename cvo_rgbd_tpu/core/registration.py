@@ -89,9 +89,12 @@ def make_align_step(p, adaptive: bool):
     """Build the per-iteration body shared by cvo/acvo align."""
 
     use_pallas = getattr(p, "backend", "xla") == "pallas"
+    linear = p.color_mode == "linear"
     if use_pallas:
-        if p.color_mode != "se":
-            raise ValueError("pallas backend requires color_mode='se'")
+        if linear and adaptive:
+            raise ValueError(
+                "pallas backend supports linear color mode for cvo only"
+            )
         if adaptive and p.yy_quirk:
             raise ValueError("yy_quirk emulation requires backend='xla'")
         from cvo_rgbd_tpu.ops import fused_flow, fused_step_coeffs
@@ -106,8 +109,13 @@ def make_align_step(p, adaptive: bool):
         if use_pallas:
             # ck_caches = (ck_xy, ck_xx, ck_yy) color-kernel tiles from
             # ops.color_gram — loop-invariant (features never transform,
-            # cvo.cpp:143-153), computed once per align in `align()`
+            # cvo.cpp:143-153), computed once per align in `align()`.
+            # Linear mode: the (pre-masked) MATLAB CI tile plays the
+            # cache role — it IS the per-pair precomputation
+            # (rkhs_se3_registration.m:108).
             ck_xy, ck_xx, ck_yy = ck_caches if ck_caches else (None,) * 3
+            if linear:
+                ck_xy = ci
             omega, v, wsq_xy, nnz_xy, _ = fused_flow(
                 fixed.positions, fixed.features, fixed.mask,
                 y_pos, moving.features, moving.mask, state.ell, ck_xy, p=p,
@@ -230,6 +238,24 @@ def make_align_step(p, adaptive: bool):
     return body
 
 
+def prepare_ci(p, fixed: PointCloud, moving: PointCloud):
+    """Linear-mode CI tile (rkhs_se3_registration.m:108), precomputed
+    once per pair; None for se mode.  For the pallas backend the tile
+    is pre-masked: the kernels gate on the position kernel alone and
+    take masking from zeros in the cached tile (matlab_gram applies the
+    masks in its own gate instead)."""
+    if p.color_mode != "linear":
+        return None
+    ci = gram_mod.linear_color_gram(
+        fixed.features, moving.features, p.color_scale
+    )
+    if getattr(p, "backend", "xla") == "pallas":
+        ci = jnp.where(
+            (fixed.mask[:, None] > 0) & (moving.mask[None, :] > 0), ci, 0.0
+        )
+    return ci
+
+
 def build_ck_caches(p, adaptive, fixed: PointCloud, moving: PointCloud):
     """Loop-invariant color-kernel caches for the pallas backend (None
     otherwise): (ck_xy, ck_xx, ck_yy), self-kernels only for acvo.
@@ -239,6 +265,10 @@ def build_ck_caches(p, adaptive, fixed: PointCloud, moving: PointCloud):
     if getattr(p, "backend", "xla") != "pallas" or not getattr(
         p, "ck_cache", True
     ):
+        return None
+    if p.color_mode == "linear":
+        # the masked CI tile is built in align() and passed through the
+        # `ci` argument instead
         return None
     from cvo_rgbd_tpu.ops import color_gram
 
@@ -286,20 +316,15 @@ def align(
         if fused_eligible(p, fixed, moving):
             return align_fused(p, fixed, moving, R0, T0)
         quirk = adaptive and p.yy_quirk
+        lin_acvo = adaptive and p.color_mode == "linear"
         p = dataclasses.replace(
-            p,
-            backend="pallas" if p.color_mode == "se" and not quirk else "xla",
+            p, backend="xla" if quirk or lin_acvo else "pallas"
         )
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
     T0 = jnp.zeros(3, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)
 
-    if p.color_mode == "linear":
-        ci = gram_mod.linear_color_gram(
-            fixed.features, moving.features, p.color_scale
-        )
-    else:
-        ci = None
+    ci = prepare_ci(p, fixed, moving)
 
     ell_max0 = p.ell_max_init if adaptive else 1e9
     init = AlignState(

@@ -17,11 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from cvo_rgbd_tpu import se3
-from cvo_rgbd_tpu.core import gram as gram_mod
 from cvo_rgbd_tpu.core.registration import (
     AlignState,
     build_ck_caches,
     make_align_step,
+    prepare_ci,
 )
 from cvo_rgbd_tpu.params import AcvoParams
 
@@ -49,18 +49,12 @@ def align_trace(p, fixed, moving, n_iters: int):
         import dataclasses
 
         quirk = adaptive and p.yy_quirk
+        lin_acvo = adaptive and p.color_mode == "linear"
         p = dataclasses.replace(
-            p,
-            backend="pallas" if p.color_mode == "se" and not quirk else "xla",
+            p, backend="xla" if quirk or lin_acvo else "pallas"
         )
     body = make_align_step(p, adaptive)
-
-    if p.color_mode == "linear":
-        ci = gram_mod.linear_color_gram(
-            fixed.features, moving.features, p.color_scale
-        )
-    else:
-        ci = None
+    ci = prepare_ci(p, fixed, moving)
 
     init = AlignState(
         k=jnp.zeros((), jnp.int32),

@@ -70,7 +70,7 @@ def _read_planes(refs):
     return tuple(vals[0:3]), tuple(vals[3:8]), vals[8]
 
 
-def _pair_tile(xrefs, yrefs, scal, ck_ref=None):
+def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
     """A tile + d2 tile from (TI,1) x-columns and (1,TJ) y-rows.
 
     With `ck_ref`, the (gated, masked) color kernel is READ from a
@@ -80,6 +80,11 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None):
     exp is ~40% of the per-pair VPU work.  `color_gram` below builds
     the cache with zeros exactly where the color gate or the validity
     masks fail, so `a > sp_thres` reproduces the full reference gate.
+
+    `linear` is MATLAB mode (rkhs_se3_registration.m:125-127): ck_ref
+    holds the masked linear CI tile (inherently loop-invariant — the
+    MATLAB class precomputes it once per pair), the gate is on the
+    position kernel alone, and A = CI .* K.
     """
     (ell, s2, cs2, inv_2l2, inv_2cl2, d2_thres, d2_c_thres, sp_thres) = scal
     (x0, x1, x2), xf, xm = _read_planes(xrefs)
@@ -91,6 +96,10 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None):
 
     d2 = psq(x0, y0) + psq(x1, y1) + psq(x2, y2)
     k = s2 * jnp.exp(-d2 * inv_2l2)
+
+    if linear:
+        gate = k >= sp_thres
+        return jnp.where(gate, ck_ref[:, :] * k, 0.0), d2
 
     if ck_ref is not None:
         a = k * ck_ref[:, :]
@@ -116,14 +125,14 @@ def _unpack_scal(s_ref):
     return tuple(s_ref[0, i] for i in range(8))
 
 
-def _make_flow_kernel(use_ck):
+def _make_flow_kernel(use_ck, linear=False):
     def kernel(s_ref, *refs):
-        return _flow_body(s_ref, refs, use_ck)
+        return _flow_body(s_ref, refs, use_ck, linear)
 
     return kernel
 
 
-def _flow_body(s_ref, refs, use_ck):
+def _flow_body(s_ref, refs, use_ck, linear=False):
     """refs: 9 x-planes, 9 y-planes, [ck,] acc.  Accumulator row 0: 0-2
     omega*c, 3-5 v*d, 6 sum A|x-y|^2, 7 nnz, 8 sum A."""
     xrefs, yrefs = refs[:9], refs[9:18]
@@ -137,7 +146,7 @@ def _flow_body(s_ref, refs, use_ck):
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     scal = _unpack_scal(s_ref)
-    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref)
+    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
     (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
     (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
@@ -162,14 +171,14 @@ def _flow_body(s_ref, refs, use_ck):
     acc_ref[:, :] += _acc_update([om0, om1, om2, v0, v1, v2, wsq, nnz, sA])
 
 
-def _make_step_kernel(use_ck):
+def _make_step_kernel(use_ck, linear=False):
     def kernel(s_ref, wv_ref, *refs):
-        return _step_body(s_ref, wv_ref, refs, use_ck)
+        return _step_body(s_ref, wv_ref, refs, use_ck, linear)
 
     return kernel
 
 
-def _step_body(s_ref, wv_ref, refs, use_ck):
+def _step_body(s_ref, wv_ref, refs, use_ck, linear=False):
     """refs: 9 x-planes, 9 y-planes, [ck,] acc.  Accumulator row 0: 0 B,
     1 C, 2 D, 3 E (cvo.cpp:249-289)."""
     xrefs, yrefs = refs[:9], refs[9:18]
@@ -187,7 +196,7 @@ def _step_body(s_ref, wv_ref, refs, use_ck):
     w0, w1, w2 = wv_ref[0, 0], wv_ref[0, 1], wv_ref[0, 2]
     v0, v1, v2 = wv_ref[0, 3], wv_ref[0, 4], wv_ref[0, 5]
 
-    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref)
+    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
     (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
     (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
@@ -253,8 +262,21 @@ def _scal_vector(ell, p):
     ]).reshape(1, 8)
 
 
+def _pad_feat(feat):
+    """Zero-pad features to the 5-plane layout (linear-mode clouds
+    carry 3 color features; the padded planes are never read when a
+    cached color tile is in use, but the ref count is fixed)."""
+    k = feat.shape[1]
+    if k == 5:
+        return feat
+    return jnp.concatenate(
+        [feat, jnp.zeros((feat.shape[0], 5 - k), feat.dtype)], axis=1
+    )
+
+
 def _pack_x(pos, feat, mask):
     """x-side planes: nine [N,1] column arrays."""
+    feat = _pad_feat(feat)
     cols = [pos[:, k:k+1] for k in range(3)]
     cols += [feat[:, k:k+1] for k in range(5)]
     cols.append(mask.reshape(-1, 1))
@@ -263,6 +285,7 @@ def _pack_x(pos, feat, mask):
 
 def _pack_y(pos, feat, mask):
     """y-side planes: nine [1,N] row arrays."""
+    feat = _pad_feat(feat)
     rows = [pos[:, k].reshape(1, -1) for k in range(3)]
     rows += [feat[:, k].reshape(1, -1) for k in range(5)]
     rows.append(mask.reshape(1, -1))
@@ -346,8 +369,13 @@ def fused_flow(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, interpret=None):
     """Fused gram+flow: returns (omega, v, wsq_sum, nnz, sum_A).
 
     Pass `ck` (from `color_gram`) to read the loop-invariant color
-    kernel instead of recomputing it per call."""
+    kernel instead of recomputing it per call.  In linear color mode
+    (p.color_mode == "linear") `ck` is REQUIRED and holds the masked
+    CI tile from `linear_ci_cache`."""
     interpret = _auto_interpret(interpret)
+    linear = p.color_mode == "linear"
+    if linear and ck is None:
+        raise ValueError("linear color mode requires the ci cache")
     n, m = xp.shape[0], yp.shape[0]
     _check(n, m)
     grid, smem, xspec, yspec, out = _specs(n, m)
@@ -355,7 +383,7 @@ def fused_flow(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, interpret=None):
     extra_spec = [_ck_spec(n, m)] if use_ck else []
     extra = (ck,) if use_ck else ()
     acc = pl.pallas_call(
-        _make_flow_kernel(use_ck),
+        _make_flow_kernel(use_ck, linear),
         grid=grid,
         in_specs=[smem] + xspec + yspec + extra_spec,
         out_specs=out,
@@ -381,10 +409,13 @@ def fused_step_coeffs(xp, xf, xm, yp, yf, ym, ell, omega, v, ck=None, *, p,
     wv_spec = pl.BlockSpec((1, 8), lambda i, j: (0, 0),
                            memory_space=pltpu.SMEM)
     use_ck = ck is not None
+    linear = p.color_mode == "linear"
+    if linear and ck is None:
+        raise ValueError("linear color mode requires the ci cache")
     extra_spec = [_ck_spec(n, m)] if use_ck else []
     extra = (ck,) if use_ck else ()
     acc = pl.pallas_call(
-        _make_step_kernel(use_ck),
+        _make_step_kernel(use_ck, linear),
         grid=grid,
         in_specs=[smem, wv_spec] + xspec + yspec + extra_spec,
         out_specs=out,

@@ -13,9 +13,10 @@ CAP = 256  # one TILE
 P = CvoParams()
 
 
-def _pair(rng, n=200, cap=CAP):
+def _pair(rng, n=200, cap=CAP, nfeat=5):
     base = rng.standard_normal((n + 30, 3)).astype(np.float32) * 0.4
-    feat = (rng.random((n + 30, 5)) * np.array([255, 255, 255, 60, 60])).astype(np.float32)
+    feat = (rng.random((n + 30, 5)) * np.array([255, 255, 255, 60, 60]))
+    feat = feat[:, :nfeat].astype(np.float32)
     R = np.asarray(se3.exp_so3(np.array([0.01, -0.012, 0.008], np.float32)))
     t = np.array([0.02, -0.01, 0.015], np.float32)
     yp = (base[20:20 + n] @ R.T + t).astype(np.float32)
@@ -103,6 +104,23 @@ def test_align_pallas_backend_matches_xla(rng):
     x, y = _pair(rng)
     ref = align_jit(CvoParams(max_iter=40), x, y)
     got = align_jit(CvoParams(max_iter=40, backend="pallas"), x, y)
+    np.testing.assert_allclose(
+        np.asarray(got.tf), np.asarray(ref.tf), atol=5e-5
+    )
+    assert abs(int(got.iterations) - int(ref.iterations)) <= 1
+
+
+def test_align_pallas_linear_mode_matches_xla(rng):
+    """MATLAB-protocol (linear CI) params on the pallas backend: the
+    cached CI tile + position-kernel gate must reproduce matlab_gram."""
+    import dataclasses
+
+    from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit
+
+    x, y = _pair(rng, nfeat=3)
+    ref = align_jit(MATLAB_PARAMS, x, y)
+    got = align_jit(dataclasses.replace(MATLAB_PARAMS, backend="pallas"),
+                    x, y)
     np.testing.assert_allclose(
         np.asarray(got.tf), np.asarray(ref.tf), atol=5e-5
     )
