@@ -120,6 +120,28 @@ def test_fused_fallback_routes_ineligible_problems(rng):
                                atol=2e-5)
 
 
+def test_fused_vmap_batched_matches_per_pair(rng):
+    """vmap over align_fused (lowered to a Pallas grid dimension — the
+    bench.py headline path via align_batched(backend='fused')): each
+    lane must match its own single-pair run exactly, with no
+    cross-lane convergence coupling."""
+    import jax
+
+    from cvo_rgbd_tpu.core.cloud import stack_clouds
+
+    ps = [_pair(rng, 3) for _ in range(3)]
+    fb = stack_clouds([x for x, _ in ps])
+    mb = stack_clouds([y for _, y in ps])
+    vf = jax.vmap(lambda f, m: align_fused(MATLAB_PARAMS, f, m,
+                                           interpret=True))
+    out = vf(fb, mb)
+    for i, (x, y) in enumerate(ps):
+        one = align_fused(MATLAB_PARAMS, x, y, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out.tf)[i],
+                                      np.asarray(one.tf))
+        assert int(np.asarray(out.iterations)[i]) == int(one.iterations)
+
+
 def test_ck_cache_opt_out_matches(rng):
     """ck_cache=False (memory-bound opt-out) is numerically identical."""
     import dataclasses
