@@ -46,6 +46,18 @@ def _cmd_run(args):
         )
 
 
+def _cmd_multiseq(args):
+    from cvo_rgbd_tpu.multiseq import run_multiseq
+    from cvo_rgbd_tpu.params import CvoParams
+
+    seq = int(args.seq) if args.seq.isdigit() else args.seq
+    params = CvoParams(backend=args.backend) if args.backend != "xla" else None
+    run_multiseq(
+        args.folders, seq, params=params,
+        num_want=args.num_want, max_frames=args.max_frames,
+    )
+
+
 def _cmd_batch(args):
     from cvo_rgbd_tpu.batch import run_batch
 
@@ -171,6 +183,19 @@ def main(argv=None):
     pr.add_argument("--batch", type=int, default=1,
                     help="register this many pairs per device step (offline mode)")
     pr.set_defaults(fn=_cmd_run)
+
+    pm = sub.add_parser(
+        "multiseq",
+        help="batched odometry over several TUM folders in lockstep "
+        "(one device batch registers one pair from every sequence)",
+    )
+    pm.add_argument("seq", help="camera key shared by all folders")
+    pm.add_argument("folders", nargs="+")
+    pm.add_argument("--num-want", type=int, default=3000)
+    pm.add_argument("--max-frames", type=int)
+    pm.add_argument("--backend", default="xla",
+                    choices=["xla", "pallas", "fused"])
+    pm.set_defaults(fn=_cmd_multiseq)
 
     pb = sub.add_parser("batch", help="pairwise registration over a pcd dir")
     pb.add_argument("directory")

@@ -5,6 +5,8 @@ import pytest
 
 from cvo_rgbd_tpu import cli
 
+from test_odometry import synth_dataset, NUM_WANT  # noqa: F401  (fixture)
+
 
 def test_help_lists_subcommands(capsys):
     with pytest.raises(SystemExit):
@@ -41,6 +43,19 @@ def test_associate_cli(tmp_path, capsys):
 def test_unknown_command_errors():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
+
+
+def test_multiseq_cli(synth_dataset, capsys):
+    """multiseq subcommand: lockstep batched odometry over folders."""
+    cli.main([
+        "multiseq", "1", str(synth_dataset), "--num-want", str(NUM_WANT),
+        "--max-frames", "3",
+    ])
+    traj = synth_dataset / "cvo_poses_qt_batch.txt"
+    assert traj.exists()
+    lines = traj.read_text().strip().splitlines()
+    assert len(lines) >= 2
+    assert all(len(l.split()) == 8 for l in lines)
 
 
 def test_slam_cli(tmp_path, capsys, rng):
