@@ -1,0 +1,119 @@
+"""Real-data pose parity against the stored reference MATLAB run.
+
+The reference vendors a genuine MATLAB batch registration result
+(freiburg1_desk_07-May-2019-02-35-00.mat, written by
+rgbddataset_rkhs.m:87-88) containing 572 pairwise transforms, plus the
+first 5 downsampled clouds the run consumed (pcd_ds/*.pcd).  These
+tests re-register the 4 vendored fixture pairs with the same protocol
+(range filter [0.8, 4] m + 0.05 gridAverage downsample + dense linear-
+color-kernel align, rgbddataset_rkhs.m:34-66) and assert the resulting
+transforms match the stored MATLAB output.
+
+This is the only direct comparison available against actual reference
+OUTPUT (not a re-derivation): agreement here validates the whole chain
+— pcd reading, preprocessing, kernel, flow, step, integrator, stopping
+rules — against an independent implementation run by the original
+authors.
+
+Tolerance calibration: residuals are dominated by pcdownsample
+gridAverage's exact voxel semantics (which points survive), not by the
+registration math — the fp32 jit path and the float64 oracle agree with
+each other ~10x tighter than either agrees with MATLAB.  Measured drift
+across the 4 pairs: 2.8-4.3 mm translation, 3.1-4.2e-3 rad rotation
+(pure-pose magnitudes here are ~10-15 mm / ~2e-2 rad per pair).
+"""
+
+import numpy as np
+import pytest
+
+from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit, pad_cloud
+from cvo_rgbd_tpu.io import read_pcd, read_stored_run
+from cvo_rgbd_tpu.utils import grid_downsample, range_filter
+
+DS = "/root/reference/data/rgbd_dataset/freiburg1_desk"
+MAT = f"{DS}/freiburg1_desk_07-May-2019-02-35-00.mat"
+STAMPS = [
+    "1305031453.359684",
+    "1305031453.391690",
+    "1305031453.423683",
+    "1305031453.459685",
+    "1305031453.491698",
+]
+
+TRANS_TOL_M = 8e-3    # measured max 4.3 mm; margin for platform drift
+ROT_TOL_RAD = 8e-3    # measured max 4.2e-3 rad
+
+
+@pytest.fixture(scope="module")
+def stored():
+    return read_stored_run(MAT)
+
+
+@pytest.fixture(scope="module")
+def fixture_clouds():
+    raw = []
+    for t in STAMPS:
+        d = read_pcd(f"{DS}/pcd_ds/{t}.pcd")
+        pos, col = range_filter(d["positions"], d["colors"])
+        pos, col = grid_downsample(pos, col, 0.05)
+        raw.append((pos, col * 255.0))  # MATLAB Color is uint8-scaled
+    cap = 128 * ((max(p.shape[0] for p, _ in raw) + 127) // 128)
+    return [pad_cloud(p, c, capacity=cap) for p, c in raw]
+
+
+def test_stored_run_structure(stored):
+    """The MCOS extraction yields exactly the published run."""
+    assert stored.num_pairs == 572
+    assert stored.dataset_name == "freiburg1_desk"
+    assert stored.registration_time.shape == (572,)
+    # result{1} is the seed identity (rgbddataset_rkhs.m:41-42)
+    np.testing.assert_array_equal(stored.transforms[0], np.eye(4))
+    # every stored transform is a rigid motion: orthonormal R, det +1
+    R = stored.transforms[1:, :3, :3]
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-6)
+    assert np.all(np.linalg.det(R) > 0.999)
+    # fr1/desk is a slow handheld sequence: per-pair motion is small
+    t = stored.transforms[1:, :3, 3]
+    assert np.all(np.linalg.norm(t, axis=1) < 0.25)
+
+
+def test_pairwise_transforms_match_stored_matlab_run(stored, fixture_clouds):
+    """align(MATLAB_PARAMS) on the vendored pairs reproduces the stored
+    MATLAB transforms to mm / milliradian level."""
+    for i in range(4):
+        res = align_jit(MATLAB_PARAMS, fixture_clouds[i], fixture_clouds[i + 1])
+        R = np.asarray(res.R, np.float64)
+        T = np.asarray(res.T, np.float64)
+        # MATLAB's final tform = tf_inv(R, T) of the final state
+        # (rkhs_se3_registration.m:261)
+        ours = np.eye(4)
+        ours[:3, :3] = R.T
+        ours[:3, 3] = -R.T @ T
+        ref = stored.pair_transform(i)
+        dt = np.linalg.norm(ours[:3, 3] - ref[:3, 3])
+        dR = ours[:3, :3] @ ref[:3, :3].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        assert dt < TRANS_TOL_M, f"pair {i}: translation drift {dt*1e3:.2f} mm"
+        assert ang < ROT_TOL_RAD, f"pair {i}: rotation drift {ang:.2e} rad"
+        # and the solved pose is non-trivial (the test has teeth): the
+        # stored motion itself is ~1 cm
+        assert np.linalg.norm(ref[:3, 3]) > 5e-3
+
+
+def test_accumulated_chain_matches_stored(stored, fixture_clouds):
+    """Chained pairwise transforms over the 5 fixture frames match the
+    MATLAB accumulation (drift compounds but stays at mm level)."""
+    ours_chain = np.eye(4)
+    ref_chain = np.eye(4)
+    for i in range(4):
+        res = align_jit(MATLAB_PARAMS, fixture_clouds[i], fixture_clouds[i + 1])
+        R = np.asarray(res.R, np.float64)
+        T = np.asarray(res.T, np.float64)
+        step = np.eye(4)
+        step[:3, :3] = R.T
+        step[:3, 3] = -R.T @ T
+        ours_chain = ours_chain @ step
+        ref_chain = ref_chain @ stored.pair_transform(i)
+    dt = np.linalg.norm(ours_chain[:3, 3] - ref_chain[:3, 3])
+    assert dt < 4 * TRANS_TOL_M, f"chained translation drift {dt*1e3:.2f} mm"
