@@ -98,16 +98,50 @@ def main():
         jax.block_until_ready(resb.tf)
         batched_times.append((time.perf_counter() - t0) / nbatch)
 
+    # pose parity vs the genuine stored MATLAB output (VERDICT r1 item 1b):
+    # the same .mat the timing baseline comes from stores the 4 fixture-pair
+    # transforms; compare what we just registered against them
+    from cvo_rgbd_tpu.io import read_stored_run
+
+    stored = read_stored_run(f"{DS}/freiburg1_desk_07-May-2019-02-35-00.mat")
+    trans_err_mm, rot_err_mrad = [], []
+    for i, (f, m) in enumerate(pairs):
+        res = align_jit(MATLAB_PARAMS, f, m)
+        R = np.asarray(res.R, np.float64)
+        T = np.asarray(res.T, np.float64)
+        ours = np.eye(4)
+        ours[:3, :3] = R.T
+        ours[:3, 3] = -R.T @ T
+        ref = stored.pair_transform(i)
+        trans_err_mm.append(
+            float(np.linalg.norm(ours[:3, 3] - ref[:3, 3])) * 1e3
+        )
+        dR = ours[:3, :3] @ ref[:3, :3].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        rot_err_mrad.append(float(ang) * 1e3)
+
     per_pair_seq = float(np.median(times))
     per_pair = float(np.median(batched_times))
     fps = 1.0 / per_pair
     print(
         json.dumps(
             {
-                "metric": "fr1desk_pair_registration_rate",
+                "metric": "fr1desk_pair_registration_rate_batched",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps * MATLAB_MEAN_S_PER_PAIR, 2),
+                "fps_sequential": round(1.0 / per_pair_seq, 3),
+                "fps_batched": round(fps, 3),
+                "pose_err_vs_stored_matlab": {
+                    "max_translation_mm": round(max(trans_err_mm), 2),
+                    "max_rotation_mrad": round(max(rot_err_mrad), 2),
+                    "per_pair_translation_mm": [
+                        round(e, 2) for e in trans_err_mm
+                    ],
+                    "per_pair_rotation_mrad": [
+                        round(e, 2) for e in rot_err_mrad
+                    ],
+                },
                 "detail": {
                     "mode": "batched whole-align Pallas mega-kernel "
                     "(align_batched with backend='fused'; vmap lowers to "

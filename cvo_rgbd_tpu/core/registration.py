@@ -317,8 +317,16 @@ def align(
             return align_fused(p, fixed, moving, R0, T0)
         quirk = adaptive and p.yy_quirk
         lin_acvo = adaptive and p.color_mode == "linear"
+        # the per-iteration pallas backend tiles capacities in 128-lane
+        # blocks; hand-built clouds with other capacities must route all
+        # the way to xla (pad_cloud always produces 128-multiples, so
+        # this only bites hand-built clouds — the fallback must never
+        # raise)
+        unaligned = (
+            fixed.positions.shape[0] % 128 or moving.positions.shape[0] % 128
+        )
         p = dataclasses.replace(
-            p, backend="xla" if quirk or lin_acvo else "pallas"
+            p, backend="xla" if quirk or lin_acvo or unaligned else "pallas"
         )
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
@@ -364,17 +372,27 @@ def align(
     )
 
 
-def function_inner_product(p, cloud_a: PointCloud, cloud_b: PointCloud):
+def function_inner_product(p, cloud_a: PointCloud, cloud_b: PointCloud,
+                           ell=None):
     """Mean kernel value over gated pairs (adaptive_cvo.cpp:385-439).
 
     A keyframe-selection hook in the reference (defined, not called by
     the shipped mains).  Note the reference uses sp_thres — not
     c_sp_thres — for the color gate here (adaptive_cvo.cpp:392).
+
+    `ell`: the reference evaluates the kernel at the *current* member
+    length-scale (adaptive_cvo.cpp:393) — i.e. whatever the last align
+    left behind.  Pass `AlignResult.ell` of the preceding pair for
+    reference semantics; defaults to `p.ell_init` (a fresh-state
+    evaluation, which is what a keyframe scorer called before any align
+    would see — acvo resets ell per pair, adaptive_cvo.cpp:476-485).
     """
+    if ell is None:
+        ell = p.ell_init
     A = gram_mod.se_gram(
         cloud_a.positions, cloud_a.features, cloud_a.mask,
         cloud_b.positions, cloud_b.features, cloud_b.mask,
-        jnp.asarray(p.ell_init, jnp.float32),
+        jnp.asarray(ell, jnp.float32),
         sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
         sp_thres=p.sp_thres, c_sp_thres=p.sp_thres,
     )

@@ -23,9 +23,23 @@ from cvo_rgbd_tpu.frontend import selector as selector_mod
 from cvo_rgbd_tpu.frontend.camera import get_camera
 
 
-def _process(rgb, depth, *, cam, num_want, feature_type, dep_thres, pot):
-    """rgb [H,W,3] f32 0..255, depth [H,W] f32 raw sensor units."""
+def _process(rgb, depth, *, cam, num_want, feature_type, dep_thres, pot,
+             bgr_quirk=False):
+    """rgb [H,W,3] f32 0..255, depth [H,W] f32 raw sensor units.
+
+    bgr_quirk: opt-in bit-parity mode with the reference binaries, which
+    load BGR via cv::imread but convert with COLOR_RGB2GRAY/RGB2HSV
+    (pcd_generator.cpp:390-391), i.e. run RGB formulas on BGR data and
+    emit features in [b,g,r,dx,dy] storage order (pcd_generator.cpp:
+    359-381).  Flipping the channel axis before any conversion
+    reproduces all of that at once.  Default off: the registration
+    kernel only compares features between frames, so the correct RGB
+    math is used unless byte-level parity with reference output is the
+    goal (frontend/image.py module docstring).
+    """
     h, w = depth.shape
+    if bgr_quirk:
+        rgb = rgb[..., ::-1]
     gray = image_mod.rgb_to_gray(rgb)
     pyr = image_mod.make_pyramid(gray)
     idx, sel_valid = selector_mod.select_pixels(pyr, num_want, pot=pot)
@@ -72,10 +86,12 @@ def _process(rgb, depth, *, cam, num_want, feature_type, dep_thres, pot):
 
 @functools.lru_cache(maxsize=None)
 def make_frontend(camera_key, num_want=3000, feature_type=1,
-                  dep_thres=20000.0, pot=3):
+                  dep_thres=20000.0, pot=3, bgr_quirk=False):
     """Build a jitted frame processor for a camera/config.
 
     num_want=3000, dep_thres=20000 match pcd_generator.cpp:22-23.
+    bgr_quirk=True reproduces the reference's BGR-as-RGB color
+    convention for bit-parity runs (see `_process`).
     """
     cam = get_camera(camera_key)
     fn = functools.partial(
@@ -85,11 +101,14 @@ def make_frontend(camera_key, num_want=3000, feature_type=1,
         feature_type=feature_type,
         dep_thres=dep_thres,
         pot=pot,
+        bgr_quirk=bgr_quirk,
     )
     return jax.jit(fn)
 
 
-def process_frame(rgb, depth, camera_key, num_want=3000, feature_type=1):
+def process_frame(rgb, depth, camera_key, num_want=3000, feature_type=1,
+                  bgr_quirk=False):
     """Convenience one-shot API (compiles per image shape)."""
-    fn = make_frontend(camera_key, num_want, feature_type)
+    fn = make_frontend(camera_key, num_want, feature_type,
+                       bgr_quirk=bgr_quirk)
     return fn(jnp.asarray(rgb, jnp.float32), jnp.asarray(depth, jnp.float32))

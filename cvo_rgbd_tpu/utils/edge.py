@@ -21,10 +21,23 @@ def _gaussian_blur(img, sigma=1.0, radius=2):
     x = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     k /= k.sum()
-    pad = np.pad(img, radius, mode="edge")
-    out = np.apply_along_axis(lambda r: np.convolve(r, k, mode="valid"), 1, pad)
-    out = np.apply_along_axis(lambda c: np.convolve(c, k, mode="valid"), 0, out)
-    return out.astype(np.float32)
+    try:
+        from scipy.ndimage import convolve1d
+
+        out = convolve1d(np.asarray(img, np.float32), k, axis=1,
+                         mode="nearest")
+        out = convolve1d(out, k, axis=0, mode="nearest")
+        return out.astype(np.float32)
+    except ImportError:  # pragma: no cover - scipy is in the base image
+        pad = np.pad(img, radius, mode="edge")
+        win = np.lib.stride_tricks.sliding_window_view(
+            pad, 2 * radius + 1, axis=1
+        )
+        out = win @ k  # [H+2r, W]
+        win = np.lib.stride_tricks.sliding_window_view(
+            out, 2 * radius + 1, axis=0
+        )
+        return (win @ k).astype(np.float32)  # [H, W]
 
 
 def canny_edges(gray, low=None, high=None, sigma=1.0):

@@ -136,3 +136,24 @@ def test_zero_depth_masked(rng):
     cam = camera.get_camera("fr1")
     u = pos[mask][:, 0] / pos[mask][:, 2] * cam.fx + cam.cx
     assert (u >= 63.0).all()  # only right-half pixels survive
+
+
+def test_bgr_quirk_flag(rng):
+    """bgr_quirk=True reproduces the reference's BGR-as-RGB convention
+    (pcd_generator.cpp:390-391): identical to processing the
+    channel-reversed image, and feature_type 1 emits [b,g,r,dx,dy]."""
+    rgb, depth = synth_rgbd(rng)
+    quirk = pipeline.process_frame(rgb, depth, "fr1", num_want=256,
+                                   bgr_quirk=True)
+    flipped = pipeline.process_frame(rgb[..., ::-1].copy(), depth, "fr1",
+                                     num_want=256)
+    np.testing.assert_array_equal(np.asarray(quirk.features),
+                                  np.asarray(flipped.features))
+    np.testing.assert_array_equal(np.asarray(quirk.positions),
+                                  np.asarray(flipped.positions))
+    # same image, default mode: selection differs (gray weights now run
+    # on swapped channels) unless the image is channel-symmetric
+    plain = pipeline.process_frame(rgb, depth, "fr1", num_want=256)
+    m = (np.asarray(quirk.mask) > 0) & (np.asarray(plain.mask) > 0)
+    fq, fp = np.asarray(quirk.features)[m], np.asarray(plain.features)[m]
+    assert not np.array_equal(fq[:, :3], fp[:, :3])

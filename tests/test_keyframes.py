@@ -51,3 +51,19 @@ def test_selector_max_span(rng):
     sel.update(0, c)
     assert not sel.update(1, c)[0]
     assert sel.update(2, c)[0]  # forced by span
+
+
+def test_function_inner_product_ell_argument(rng):
+    """The reference evaluates at the *current* member ell
+    (adaptive_cvo.cpp:393); the ell argument exposes that, defaulting to
+    ell_init.  A larger ell admits more pairs -> different score."""
+    from cvo_rgbd_tpu.core.registration import function_inner_product
+
+    p = AcvoParams()
+    a, b = _cloud(rng), _cloud(rng, offset=0.05)
+    default = float(function_inner_product(p, a, b))
+    at_init = float(function_inner_product(p, a, b, ell=p.ell_init))
+    wide = float(function_inner_product(p, a, b, ell=5.0 * p.ell_init))
+    assert default == at_init
+    assert wide != default
+    assert np.isfinite(wide)

@@ -154,3 +154,17 @@ def test_ck_cache_opt_out_matches(rng):
                               ck_cache=False), x, y)
     np.testing.assert_array_equal(np.asarray(on.tf), np.asarray(off.tf))
     assert int(on.iterations) == int(off.iterations)
+
+
+def test_fused_fallback_unaligned_capacity_routes_to_xla(rng):
+    """A hand-built cloud whose capacity is a multiple of 8 but not 128
+    and which is ALSO fused-ineligible for size must fall back to xla
+    (the per-iteration pallas backend tiles in 128-lane blocks and would
+    raise).  pad_cloud always produces 128-multiples, so only hand-built
+    clouds hit this; the fallback is advertised as never raising."""
+    x, y = _pair(rng, 5, n=300, cap=1032)  # 1032 % 128 != 0; 1032^2 > 1<<20
+    p = CvoParams(max_iter=30, backend="fused")
+    ref = align_jit(CvoParams(max_iter=30), x, y)  # xla
+    got = align_jit(p, x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=2e-5)
