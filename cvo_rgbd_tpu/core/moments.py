@@ -1,0 +1,100 @@
+"""Flow + line-search reductions from the A-weighted x-monomial moments.
+
+The single-pass Pallas backend (ops/pallas_moments.py) accumulates, in
+ONE sweep over the Gram tiles, the omega-independent moment matrix
+
+    Mom[j, m] = sum_i A_ij phi_m(x_i - c0)        [M, 35]
+
+with phi the degree<=4 monomial basis of step_factored and c0 a fixed
+per-pair center (the masked centroid of the fixed cloud).  Every
+reduction of the reference iteration is then an O(M) epilogue:
+
+- flow omega, v (cvo.cpp:164-210) and the adaptive weighted
+  squared-distance sum (adaptive_cvo.cpp:222-271) are contractions of
+  the degree<=2 moments with the (current) moving points;
+- the quartic line-search coefficients B..E (cvo.cpp:213-289) contract
+  the full moment matrix with the per-j coefficient stack of
+  step_factored.line_search_coeff_stack — the only omega-dependent
+  part, and it never touches an [N, M] object.
+
+This removes the second Gram sweep per align iteration: the reference
+traverses nnz(A) once for the flow and once for the step coefficients
+(cvo.cpp:164-308); here both come from the same tile pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvo_rgbd_tpu.core.step_factored import (
+    M_INDEX,
+    NUM_MONO,
+    line_search_coeff_stack,
+    monomial_features,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+_I000 = M_INDEX[(0, 0, 0)]
+_I100 = M_INDEX[(1, 0, 0)]
+_I010 = M_INDEX[(0, 1, 0)]
+_I001 = M_INDEX[(0, 0, 1)]
+_I200 = M_INDEX[(2, 0, 0)]
+_I020 = M_INDEX[(0, 2, 0)]
+_I002 = M_INDEX[(0, 0, 2)]
+
+
+def monomial_features_padded(x, width=128):
+    """[N,3] -> [N,width] monomial features zero-padded to a lane-aligned
+    width for the Pallas moment kernel (x is centered by the caller)."""
+    phi = monomial_features(x)
+    n, k = phi.shape
+    return jnp.concatenate(
+        [phi, jnp.zeros((n, width - k), phi.dtype)], axis=1
+    )
+
+
+def flow_from_moments(Mom, y_pos, c0, *, c, d):
+    """(omega, v, wsq, sum_A) from the moment matrix.
+
+    Exact algebra (no approximation vs core.flow.flow):
+      sum_ij A_ij x_i        = S1'_j + S0_j c0       (x' = x - c0)
+      sum_ij A_ij (x_i x y_j) = sum_j (S1'_j + S0_j c0) x y_j
+      sum_ij A_ij |x_i-y_j|^2 = sum_j [tr S2'_j - 2 S1'_j.y'_j
+                                       + S0_j |y'_j|^2]   (y' = y - c0)
+    """
+    S0 = Mom[:, _I000]                                        # [M]
+    S1 = jnp.stack([Mom[:, _I100], Mom[:, _I010], Mom[:, _I001]], axis=1)
+    S2tr = Mom[:, _I200] + Mom[:, _I020] + Mom[:, _I002]      # [M]
+
+    sy = jnp.dot(S0, y_pos, preferred_element_type=jnp.float32,
+                 precision=_HI)                               # [3]
+    cross_sum = jnp.sum(jnp.cross(S1, y_pos, axis=-1), axis=0)
+    omega = (cross_sum + jnp.cross(c0, sy)) / c
+
+    s0_sum = jnp.sum(S0)
+    s1_sum = jnp.sum(S1, axis=0)
+    v = (sy - (s1_sum + c0 * s0_sum)) / d
+
+    y_c = y_pos - c0
+    wsq = (
+        jnp.sum(S2tr)
+        - 2.0 * jnp.sum(S1 * y_c)
+        + jnp.dot(S0, jnp.sum(y_c * y_c, axis=-1),
+                  preferred_element_type=jnp.float32, precision=_HI)
+    )
+    return omega, v, wsq, s0_sum
+
+
+def step_from_moments(Mom, y_pos, c0, omega, v, ell):
+    """B, C, D, E (cvo.cpp:249-289) by contracting the moment matrix
+    with the per-j line-search coefficient stack — O(M*140), no [N,M]
+    intermediates, no second Gram sweep."""
+    C_all = line_search_coeff_stack(y_pos, y_pos - c0, omega, v, ell)
+    m = C_all.shape[0]
+    out = jnp.sum(
+        C_all.reshape(m, 4, NUM_MONO) * Mom[:, None, :NUM_MONO],
+        axis=(0, 2),
+    )
+    return out[0], out[1], out[2], out[3]

@@ -97,11 +97,14 @@ def make_align_step(p, adaptive: bool):
             )
         if adaptive and p.yy_quirk:
             raise ValueError("yy_quirk emulation requires backend='xla'")
-        from cvo_rgbd_tpu.ops import fused_flow, fused_step_coeffs
+        from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
         from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
+        from cvo_rgbd_tpu.core.moments import (
+            flow_from_moments, step_from_moments,
+        )
 
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
-             ck_caches=None):
+             ck_caches=None, moments_pre=None):
         tf_R, tf_T = se3.se3_inv(state.R, state.T)
         tf = se3.make_se3(tf_R, tf_T)
         y_pos = transform_cloud(tf_R, tf_T, moving.positions)
@@ -116,22 +119,32 @@ def make_align_step(p, adaptive: bool):
             ck_xy, ck_xx, ck_yy = ck_caches if ck_caches else (None,) * 3
             if linear:
                 ck_xy = ci
-            omega, v, wsq_xy, nnz_xy, _ = fused_flow(
-                fixed.positions, fixed.features, fixed.mask,
-                y_pos, moving.features, moving.mask, state.ell, ck_xy, p=p,
+            # SINGLE tile sweep per iteration: accumulate the moment
+            # matrix A^T Phi(x - c0) (omega-independent), then both the
+            # flow AND the line-search coefficients are O(M) epilogues
+            # (core/moments.py) — the reference's two nnz(A) traversals
+            # (cvo.cpp:164-308) collapse into one pass.
+            c0, x_c, phi = moments_pre
+            Mom, nnz_xy = fused_moments(
+                x_c, fixed.features, fixed.mask,
+                y_pos - c0, moving.features, moving.mask,
+                phi, state.ell, ck_xy, p=p,
+            )
+            omega, v, wsq_xy, _ = flow_from_moments(
+                Mom, y_pos, c0, c=p.c, d=p.d
             )
             if adaptive:
-                # self-kernel reductions reuse the same fused pass
+                # self-kernels only feed the dl reduction — lean sweeps
                 # (adaptive_cvo.cpp:156-160, 222-271)
-                _, _, wsq_xx, nnz_xx, _ = fused_flow(
+                wsq_xx, nnz_xx = fused_wsq(
                     fixed.positions, fixed.features, fixed.mask,
                     fixed.positions, fixed.features, fixed.mask,
-                    state.ell, ck_xx, p=p,
+                    state.ell, ck_xx, p=p, symmetric=True,
                 )
-                _, _, wsq_yy, nnz_yy, _ = fused_flow(
+                wsq_yy, nnz_yy = fused_wsq(
                     y_pos, moving.features, moving.mask,
                     y_pos, moving.features, moving.mask, state.ell, ck_yy,
-                    p=p,
+                    p=p, symmetric=True,
                 )
                 ell3 = state.ell ** 3
                 numer = (wsq_yy - 2.0 * wsq_xy + wsq_xx) / ell3
@@ -141,10 +154,8 @@ def make_align_step(p, adaptive: bool):
             else:
                 dl = jnp.zeros((), jnp.float32)
 
-            B, C, D, E = fused_step_coeffs(
-                fixed.positions, fixed.features, fixed.mask,
-                y_pos, moving.features, moving.mask,
-                state.ell, omega, v, ck_xy, p=p,
+            B, C, D, E = step_from_moments(
+                Mom, y_pos, c0, omega, v, state.ell
             )
             roots, valid = cubic_roots(4.0 * E, 3.0 * D, 2.0 * C, B)
             step = min_positive_root(roots, valid, p.min_step, p.max_step)
@@ -289,6 +300,25 @@ def build_ck_caches(p, adaptive, fixed: PointCloud, moving: PointCloud):
     return (ck_xy, ck_xx, ck_yy)
 
 
+def build_moments_pre(p, fixed: PointCloud):
+    """Per-pair precomputation for the single-pass pallas backend:
+    (c0, x - c0, Phi(x - c0) lane-padded).  The fixed cloud never
+    transforms, so its centered monomial features are loop-invariant;
+    c0 (the masked centroid) bounds |x'| at cloud-extent scale, which
+    keeps the degree-4 monomial cancellation in fp32 range (see
+    core/step_factored.py's centering note)."""
+    if getattr(p, "backend", "xla") != "pallas":
+        return None
+    from cvo_rgbd_tpu.core.moments import monomial_features_padded
+
+    w = fixed.mask.astype(jnp.float32)
+    c0 = jnp.sum(fixed.positions * w[:, None], axis=0) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )
+    x_c = fixed.positions - c0
+    return c0, x_c, monomial_features_padded(x_c)
+
+
 def align(
     p,
     fixed: PointCloud,
@@ -349,12 +379,13 @@ def align(
 
     body = make_align_step(p, adaptive)
     ck_caches = build_ck_caches(p, adaptive, fixed, moving)
+    moments_pre = build_moments_pre(p, fixed)
 
     def cond_fn(s: AlignState):
         return (s.k < p.max_iter) & ~s.converged
 
     def body_fn(s: AlignState):
-        return body(s, fixed, moving, ci, ck_caches)
+        return body(s, fixed, moving, ci, ck_caches, moments_pre)
 
     final = jax.lax.while_loop(cond_fn, body_fn, init)
 

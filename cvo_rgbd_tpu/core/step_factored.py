@@ -176,35 +176,28 @@ def _mul_affine(P, Q4):
                    preferred_element_type=jnp.float32, precision=_HI)
 
 
-def step_coefficients_factored(A, x_pos, y_pos, omega, v, ell):
-    """B, C, D, E matching core.step.step_coefficients, via the
-    moment-factored single-matmul reduction."""
+def line_search_coeff_stack(y_field, y_pair, omega, v, ell):
+    """[M, 140] per-j monomial coefficients of the four line-search
+    polynomials P_B..P_E (cvo.cpp:249-289) in the *centered* fixed-point
+    coordinate x'.
+
+    `y_field`: ORIGINAL (uncentered) moving points — the derivative
+    fields xi^k z are built from them (cvo.cpp:226-238).
+    `y_pair`: the same points shifted by whatever center the x monomials
+    use — only the (x - y) pairings see the shift, which is exact.
+    """
     from cvo_rgbd_tpu.se3 import skew
 
-    m = y_pos.shape[0]
-
-    # Center on the A-weighted centroid: every per-pair quantity only
-    # involves (x - y), so shifting both clouds is exact — and it keeps
-    # |x| at cloud-extent scale, bounding the monomial cancellation
-    # error that grows as |x|^4.
-    row = jnp.sum(A, axis=1)
-    tot = jnp.maximum(jnp.sum(row), 1e-30)
-    centroid = jnp.dot(row, x_pos, preferred_element_type=jnp.float32,
-                       precision=_HI) / tot
-    x_pos = x_pos - centroid
-    y_pos_c = y_pos - centroid
     w_hat = skew(omega)
     w2 = w_hat @ w_hat
     w3 = w2 @ w_hat
     w4 = w3 @ w_hat
 
-    # derivative fields are built from the ORIGINAL (uncentered) y
-    # (cvo.cpp:226-238); only the (x - y) pairings are centered
-    xiz = jnp.cross(jnp.broadcast_to(omega, y_pos.shape), y_pos, axis=-1) + v
-    xi2z = jnp.matmul(y_pos, w2.T, precision=_HI) + (w_hat @ v)
-    xi3z = jnp.matmul(y_pos, w3.T, precision=_HI) + (w2 @ v)
-    xi4z = jnp.matmul(y_pos, w4.T, precision=_HI) + (w3 @ v)
-    y_pos = y_pos_c
+    xiz = jnp.cross(jnp.broadcast_to(omega, y_field.shape), y_field,
+                    axis=-1) + v
+    xi2z = jnp.matmul(y_field, w2.T, precision=_HI) + (w_hat @ v)
+    xi3z = jnp.matmul(y_field, w3.T, precision=_HI) + (w2 @ v)
+    xi4z = jnp.matmul(y_field, w4.T, precision=_HI) + (w3 @ v)
 
     normxiz2 = jnp.sum(xiz * xiz, axis=-1)
     xzx2 = -jnp.sum(xiz * xi2z, axis=-1)
@@ -214,13 +207,13 @@ def step_coefficients_factored(A, x_pos, y_pos, omega, v, ell):
 
     tc = 1.0 / (2.0 * ell * ell)
     # affine forms in x (see cvo.cpp:262-271), as compact [M,4] vectors
-    b_a = 2.0 * tc * jnp.sum(xiz * y_pos, -1)
+    b_a = 2.0 * tc * jnp.sum(xiz * y_pair, -1)
     b_b = -2.0 * tc * xiz
-    g_a = -tc * normxiz2 + 2.0 * tc * jnp.sum(xi2z * y_pos, -1)
+    g_a = -tc * normxiz2 + 2.0 * tc * jnp.sum(xi2z * y_pair, -1)
     g_b = -2.0 * tc * xi2z
-    d_a = 2.0 * tc * xzx2 + 2.0 * tc * jnp.sum(xi3z * y_pos, -1)
+    d_a = 2.0 * tc * xzx2 + 2.0 * tc * jnp.sum(xi3z * y_pair, -1)
     d_b = -2.0 * tc * xi3z
-    e_a = -tc * eps_const + 2.0 * tc * jnp.sum(xi4z * y_pos, -1)
+    e_a = -tc * eps_const + 2.0 * tc * jnp.sum(xi4z * y_pair, -1)
     e_b = -2.0 * tc * xi4z
 
     beta4 = _affine4(b_a, b_b)
@@ -248,7 +241,23 @@ def step_coefficients_factored(A, x_pos, y_pos, omega, v, ell):
         + (1.0 / 24.0) * beta4p
     )
 
-    C_all = jnp.concatenate([P_B, P_C, P_D, P_E], axis=1)  # [M, 140]
+    return jnp.concatenate([P_B, P_C, P_D, P_E], axis=1)  # [M, 140]
+
+
+def step_coefficients_factored(A, x_pos, y_pos, omega, v, ell):
+    """B, C, D, E matching core.step.step_coefficients, via the
+    moment-factored single-matmul reduction."""
+    # Center on the A-weighted centroid: every per-pair quantity only
+    # involves (x - y), so shifting both clouds is exact — and it keeps
+    # |x| at cloud-extent scale, bounding the monomial cancellation
+    # error that grows as |x|^4.
+    row = jnp.sum(A, axis=1)
+    tot = jnp.maximum(jnp.sum(row), 1e-30)
+    centroid = jnp.dot(row, x_pos, preferred_element_type=jnp.float32,
+                       precision=_HI) / tot
+    x_pos = x_pos - centroid
+
+    C_all = line_search_coeff_stack(y_pos, y_pos - centroid, omega, v, ell)
     AC = jnp.dot(A, C_all, preferred_element_type=jnp.float32,
                  precision=_HI)  # [N, 140] — the only big op
     phi = monomial_features(x_pos)  # [N, 35]

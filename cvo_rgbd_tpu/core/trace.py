@@ -20,6 +20,7 @@ from cvo_rgbd_tpu import se3
 from cvo_rgbd_tpu.core.registration import (
     AlignState,
     build_ck_caches,
+    build_moments_pre,
     make_align_step,
     prepare_ci,
 )
@@ -71,13 +72,14 @@ def align_trace(p, fixed, moving, n_iters: int):
     )
 
     ck_caches = build_ck_caches(p, adaptive, fixed, moving)
+    moments_pre = build_moments_pre(p, fixed)
 
     def scan_body(state, _):
         prev_R, prev_T = state.R, state.T
         new = jax.lax.cond(
             state.converged,
             lambda s: s,
-            lambda s: body(s, fixed, moving, ci, ck_caches),
+            lambda s: body(s, fixed, moving, ci, ck_caches, moments_pre),
             state,
         )
         dR = jnp.swapaxes(prev_R, -1, -2) @ new.R

@@ -1,0 +1,238 @@
+"""Single-pass Pallas moment kernel: ONE Gram-tile sweep per iteration.
+
+The two-pass kernels in pallas_gram.py evaluate the masked Gram tile
+twice per align iteration (flow, then line-search coefficients — the
+reference's two nnz(A) traversals, cvo.cpp:164-308).  This kernel
+replaces both with a single sweep accumulating the omega-independent
+moment matrix
+
+    Mom = A^T Phi(x')          [M, 35 monomials, lane-padded to 128]
+
+(one [TI,TJ]x[TI,128] MXU contraction per tile) plus the nnz count.
+Everything the iteration needs — omega, v, the adaptive weighted
+squared-distance sum, and B..E — is then an O(M) epilogue
+(core/moments.py).  A is evaluated exactly as in pallas_gram (same
+gates, same cached color kernel), so the reductions match the two-pass
+backend up to fp32 summation order.
+
+`fused_wsq` is the lean companion for the adaptive self-kernels
+(Axx/Ayy, adaptive_cvo.cpp:156-160): those only feed the dl reduction,
+which needs just sum A*d2 and nnz — no moments, no flow.
+
+Mosaic notes (inherited from pallas_gram.py): planes as (TI,1)/(1,TJ)
+arrays, vectorized (8,128) accumulator updates, and the moment
+contraction as a full-rank dot_general (contract dim 0 with dim 0 —
+no narrow-block relayouts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cvo_rgbd_tpu.ops.pallas_gram import (
+    NPLANES,
+    _acc_update,
+    _auto_interpret,
+    _check,
+    _pack_x,
+    _pack_y,
+    _pair_tile,
+    _scal_vector,
+    _tile,
+    _unpack_scal,
+)
+
+MOM_WIDTH = 128  # lane-aligned moment width (35 real columns)
+
+
+def _make_moments_kernel(use_ck, ti, linear=False):
+    def kernel(s_ref, *refs):
+        return _moments_body(s_ref, refs, use_ck, ti, linear)
+
+    return kernel
+
+
+def _moments_body(s_ref, refs, use_ck, ti, linear=False):
+    """refs: 9 x-planes, 9 y-planes, phi, [ck,] mom_out, acc_out.
+
+    Grid is (j, i) with i innermost so the [TJ, 128] moment block stays
+    VMEM-resident while the row tiles of its column sweep by.  Phi is
+    passed as ONE whole-array block ([N,128] = 1.6 MB at reference
+    scale): loaded into VMEM once for the whole sweep instead of
+    re-fetched from HBM for every j-tile; the kernel row-slices it.
+    Accumulator row 0: col 0 nnz."""
+    xrefs, yrefs = refs[:9], refs[9:18]
+    phi_ref = refs[18]
+    if use_ck:
+        ck_ref, mom_ref, acc_ref = refs[19], refs[20], refs[21]
+    else:
+        ck_ref, mom_ref, acc_ref = None, refs[19], refs[20]
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    scal = _unpack_scal(s_ref)
+    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
+
+    phi_tile = phi_ref[pl.ds(i * ti, ti), :]
+    contrib = jax.lax.dot_general(
+        A,
+        phi_tile,
+        (((0,), (0,)), ((), ())),          # A^T @ Phi -> [TJ, 128]
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        mom_ref[:, :] = contrib
+
+    @pl.when(i > 0)
+    def _():
+        mom_ref[:, :] += contrib
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    nnz = jnp.sum((A > 0).astype(jnp.float32))
+    acc_ref[:, :] += _acc_update([nnz])
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
+                  interpret=None):
+    """One-sweep moment accumulation: returns (Mom [M, 128], nnz).
+
+    `xp`/`yp` are the CENTERED positions (x - c0, y - c0 — the pair
+    distances are shift-invariant so A is unchanged); `phi` is
+    monomial_features_padded(x - c0) [N, 128], computed once per pair
+    (the fixed cloud never transforms).  `ck` as in fused_flow."""
+    interpret = _auto_interpret(interpret)
+    linear = p.color_mode == "linear"
+    if linear and ck is None:
+        raise ValueError("linear color mode requires the ci cache")
+    n, m = xp.shape[0], yp.shape[0]
+    _check(n, m)
+    ti, tj = _tile(n), _tile(m)
+    grid = (m // tj, n // ti)
+
+    smem = pl.BlockSpec((1, 8), lambda j, i: (0, 0), memory_space=pltpu.SMEM)
+    xspec = [
+        pl.BlockSpec((ti, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    ] * NPLANES
+    yspec = [
+        pl.BlockSpec((1, tj), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    ] * NPLANES
+    phi_spec = pl.BlockSpec((n, MOM_WIDTH), lambda j, i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    use_ck = ck is not None
+    ck_spec = [
+        pl.BlockSpec((ti, tj), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    ] if use_ck else []
+    extra = (ck,) if use_ck else ()
+    mom_spec = pl.BlockSpec((tj, MOM_WIDTH), lambda j, i: (j, 0),
+                            memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((8, 128), lambda j, i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    mom, acc = pl.pallas_call(
+        _make_moments_kernel(use_ck, ti, linear),
+        grid=grid,
+        in_specs=[smem] + xspec + yspec + [phi_spec] + ck_spec,
+        out_specs=[mom_spec, acc_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, MOM_WIDTH), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_scal_vector(ell, p), *_pack_x(xp, xf, xm), *_pack_y(yp, yf, ym),
+      phi, *extra)
+    return mom, acc[0, 0]
+
+
+def _make_wsq_kernel(use_ck, linear=False, symmetric=False):
+    def kernel(s_ref, *refs):
+        return _wsq_body(s_ref, refs, use_ck, linear, symmetric)
+
+    return kernel
+
+
+def _wsq_body(s_ref, refs, use_ck, linear=False, symmetric=False):
+    """Accumulator row 0: 0 sum A*d2, 1 nnz.
+
+    `symmetric` (the Axx/Ayy self-sweeps): A is exactly symmetric —
+    the tile at (j, i) is the transpose of (i, j) bit-for-bit (same
+    planes both sides, same ck cache) — so only upper-triangle tiles
+    are evaluated, off-diagonal ones weighted 2x.  Halves the VPU work
+    of each adaptive self-kernel sweep."""
+    xrefs, yrefs = refs[:9], refs[9:18]
+    ck_ref = refs[18] if use_ck else None
+    acc_ref = refs[19] if use_ck else refs[18]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    def tile_update(weight):
+        scal = _unpack_scal(s_ref)
+        A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
+        wsq = jnp.sum(A * d2)
+        nnz = jnp.sum((A > 0).astype(jnp.float32))
+        acc_ref[:, :] += _acc_update([weight * wsq, weight * nnz])
+
+    if symmetric:
+        @pl.when(j >= i)
+        def _():
+            tile_update(jnp.where(j > i, 2.0, 1.0))
+    else:
+        tile_update(1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "interpret", "symmetric"))
+def fused_wsq(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, symmetric=False,
+              interpret=None):
+    """Lean self-kernel sweep: returns (sum A*d2, nnz) — the only
+    quantities the adaptive dl reduction needs from Axx/Ayy
+    (adaptive_cvo.cpp:222-271).  Pass symmetric=True when x and y ARE
+    the same cloud (upper-triangle evaluation, exact)."""
+    interpret = _auto_interpret(interpret)
+    linear = p.color_mode == "linear"
+    if linear and ck is None:
+        raise ValueError("linear color mode requires the ci cache")
+    n, m = xp.shape[0], yp.shape[0]
+    _check(n, m)
+    if symmetric and n != m:
+        raise ValueError("symmetric sweep requires a self-pair (n == m)")
+    ti, tj = _tile(n), _tile(m)
+    grid = (n // ti, m // tj)
+    smem = pl.BlockSpec((1, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    xspec = [
+        pl.BlockSpec((ti, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    ] * NPLANES
+    yspec = [
+        pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    ] * NPLANES
+    use_ck = ck is not None
+    ck_spec = [
+        pl.BlockSpec((ti, tj), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    ] if use_ck else []
+    extra = (ck,) if use_ck else ()
+    out = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
+        _make_wsq_kernel(use_ck, linear, symmetric),
+        grid=grid,
+        in_specs=[smem] + xspec + yspec + ck_spec,
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=interpret,
+    )(_scal_vector(ell, p), *_pack_x(xp, xf, xm), *_pack_y(yp, yf, ym),
+      *extra)
+    return acc[0, 0], acc[0, 1]

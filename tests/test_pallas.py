@@ -166,3 +166,101 @@ def test_color_gram_cache_equivalence(rng):
                               omega, v, ck, p=p)
     for a, b in zip(ref_s, got_s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_moments_flow_matches_xla(rng):
+    """Single-pass moments -> flow epilogue vs the XLA reference."""
+    import jax.numpy as jnp
+
+    from cvo_rgbd_tpu.core.moments import (
+        flow_from_moments, monomial_features_padded,
+    )
+    from cvo_rgbd_tpu.ops import fused_moments
+
+    x, y = _pair(rng)
+    ell = 0.1
+    A, om_ref, v_ref, wsq_ref, nnz_ref = _xla_reference(P, x, y, ell)
+
+    w = x.mask.astype(jnp.float32)
+    c0 = jnp.sum(x.positions * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
+    x_c = x.positions - c0
+    phi = monomial_features_padded(x_c)
+    Mom, nnz = fused_moments(
+        x_c, x.features, x.mask, y.positions - c0, y.features, y.mask,
+        phi, ell, p=P, interpret=True,
+    )
+    om, v, wsq, sA = flow_from_moments(Mom, y.positions, c0, c=P.c, d=P.d)
+    scale = max(float(np.linalg.norm(np.asarray(om_ref))), 1e-8)
+    np.testing.assert_allclose(
+        np.asarray(om), np.asarray(om_ref), rtol=1e-3, atol=1e-3 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(v), np.asarray(v_ref), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(float(wsq), float(wsq_ref), rtol=1e-3)
+    assert int(nnz) == int(nnz_ref)
+    np.testing.assert_allclose(
+        float(sA), float(np.sum(np.asarray(A))), rtol=1e-4
+    )
+
+
+def test_fused_moments_step_matches_direct(rng):
+    """B..E from the moment contraction vs the direct step coefficients."""
+    import jax.numpy as jnp
+
+    from cvo_rgbd_tpu.core.moments import (
+        monomial_features_padded, step_from_moments,
+    )
+    from cvo_rgbd_tpu.ops import fused_moments
+
+    x, y = _pair(rng)
+    ell = 0.1
+    A, om, v, _, _ = _xla_reference(P, x, y, ell)
+    B_r, C_r, D_r, E_r = step_coefficients(
+        A, x.positions, y.positions, om, v, ell
+    )
+
+    w = x.mask.astype(jnp.float32)
+    c0 = jnp.sum(x.positions * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
+    x_c = x.positions - c0
+    Mom, _ = fused_moments(
+        x_c, x.features, x.mask, y.positions - c0, y.features, y.mask,
+        monomial_features_padded(x_c), ell, p=P, interpret=True,
+    )
+    B, C, D, E = step_from_moments(Mom, y.positions, c0, om, v, ell)
+    for got, ref in [(B, B_r), (C, C_r), (D, D_r), (E, E_r)]:
+        np.testing.assert_allclose(float(got), float(ref), rtol=5e-3,
+                                   atol=1e-6)
+
+
+def test_fused_wsq_matches_xla(rng):
+    from cvo_rgbd_tpu.ops import fused_wsq
+
+    x, y = _pair(rng)
+    ell = 0.1
+    A, _, _, wsq_ref, nnz_ref = _xla_reference(P, x, y, ell)
+    wsq, nnz = fused_wsq(
+        x.positions, x.features, x.mask,
+        y.positions, y.features, y.mask, ell, p=P, interpret=True,
+    )
+    np.testing.assert_allclose(float(wsq), float(wsq_ref), rtol=1e-3)
+    assert int(nnz) == int(nnz_ref)
+
+
+def test_fused_wsq_symmetric_matches_full(rng):
+    """Upper-triangle self-sweep == full sweep on a self-pair."""
+    from cvo_rgbd_tpu.ops import fused_wsq
+
+    x, _ = _pair(rng)
+    ell = 0.1
+    full = fused_wsq(
+        x.positions, x.features, x.mask,
+        x.positions, x.features, x.mask, ell, p=P, interpret=True,
+    )
+    sym = fused_wsq(
+        x.positions, x.features, x.mask,
+        x.positions, x.features, x.mask, ell, p=P, symmetric=True,
+        interpret=True,
+    )
+    np.testing.assert_allclose(float(sym[0]), float(full[0]), rtol=1e-5)
+    assert int(sym[1]) == int(full[1])
