@@ -5,7 +5,7 @@ from cvo_rgbd_tpu.parallel.ba import (
     ba_solve,
     make_ba_problem,
 )
-from cvo_rgbd_tpu.parallel.mesh import make_mesh
+from cvo_rgbd_tpu.parallel.mesh import make_mesh, multihost_initialize
 from cvo_rgbd_tpu.parallel.sharded import (
     align_batched,
     align_ring,
@@ -20,6 +20,7 @@ __all__ = [
     "ba_solve",
     "make_ba_problem",
     "make_mesh",
+    "multihost_initialize",
     "align_batched",
     "align_ring",
     "align_sharded",

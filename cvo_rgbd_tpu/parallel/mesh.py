@@ -38,10 +38,32 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
 def multihost_initialize(**kwargs):
     """Initialize jax.distributed for multi-host meshes (DCN).
 
-    Thin veneer so users have one entry point; no-op when already
-    initialized or single-host.
+    One entry point with LOUD failure semantics: only the benign
+    "already initialized" case is swallowed (so drivers can call this
+    unconditionally); any real init failure — bad coordinator address,
+    unreachable peers, size mismatch — is logged and re-raised, instead
+    of surfacing later as a confusing mesh-size error.
+
+    Launch contract (one process per host, standard jax.distributed):
+        multihost_initialize(coordinator_address="host0:8476",
+                             num_processes=H, process_id=h)
+    after which `jax.devices()` is the GLOBAL device list and
+    `make_mesh({"dp": H, "sp": -1})` lays dp over DCN (outer axis) and
+    sp over ICI.  See tests/test_multihost.py for a live 2-process
+    CPU-backend exercise of this path.
     """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # benign: this process already initialized the service
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # benign: repeated call in the same process
+        import logging
+
+        logging.getLogger(__name__).error(
+            "jax.distributed.initialize(%s) failed: %s", kwargs, e
+        )
+        raise
