@@ -135,3 +135,60 @@ def test_ba_from_keyframes(rng):
             float(np.linalg.norm((np.linalg.inv(poses[i]) @ P[i])[:3, 3]))
             for i in range(1, 4))
     assert err(np.asarray(new_poses)) < err(bad)
+
+
+def _synthetic_sparse(rng, k=16, m=5000, obs_per_lm=4, noise=0.001,
+                      perturb=0.03):
+    """Partial-visibility problem at map scale: each landmark observed
+    by a few random keyframes — the sparse edge structure the
+    edge-block Schur solver is built for (VERDICT r1 item 6)."""
+    landmarks = rng.uniform(-2, 2, (m, 3)).astype(np.float32) + [0, 0, 4.0]
+    poses = []
+    for i in range(k):
+        xi = np.concatenate([
+            rng.normal(0, 0.05, 3), rng.normal(0, 0.2, 3)]).astype(np.float32)
+        poses.append(np.asarray(se3.exp_se3(xi)))
+    poses = np.stack(poses)
+
+    obs_pose = np.stack(
+        [rng.choice(k, obs_per_lm, replace=False) for _ in range(m)]
+    ).astype(np.int32).ravel()
+    obs_lm = np.repeat(np.arange(m, dtype=np.int32), obs_per_lm)
+    R = poses[obs_pose, :3, :3]
+    t = poses[obs_pose, :3, 3]
+    z = np.einsum("oi,oij->oj", landmarks[obs_lm] - t, R)
+    z = (z + rng.normal(0, noise, z.shape)).astype(np.float32)
+
+    init_poses = poses.copy()
+    for i in range(1, k):
+        xi = rng.normal(0, perturb, 6).astype(np.float32)
+        init_poses[i] = init_poses[i] @ np.asarray(se3.exp_se3(xi))
+    init_lms = (landmarks + rng.normal(0, perturb, landmarks.shape)).astype(
+        np.float32
+    )
+    problem = make_ba_problem(init_poses, init_lms, obs_pose, obs_lm, z)
+    return problem, poses, landmarks
+
+
+def test_ba_map_scale_sparse(rng):
+    """K=16 keyframes x M=5000 landmarks (20k observations): far past
+    the dense-H_pl ceiling of round 1 (max_landmarks=512)."""
+    problem, gt_poses, gt_lms = _synthetic_sparse(rng)
+    assert problem.landmarks.shape[0] == 5000
+    assert problem.edge_pose.shape[0] == 20000  # one edge per obs here
+    poses, lms, costs = ba_solve(problem, iters=8)
+    assert float(costs[-1]) < 1e-3 * float(costs[0])
+    np.testing.assert_allclose(np.asarray(poses), gt_poses, atol=5e-3)
+    err = np.linalg.norm(np.asarray(lms) - gt_lms, axis=1)
+    assert np.median(err) < 5e-3
+
+
+def test_ba_map_scale_sharded_matches(rng):
+    problem, _, _ = _synthetic_sparse(rng, k=16, m=5003)  # uneven shard
+    mesh = make_mesh({"sp": 8})
+    p_ref, l_ref, c_ref = ba_solve(problem, iters=5)
+    p_sh, l_sh, c_sh = ba_solve(problem, mesh=mesh, iters=5)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(l_sh), np.asarray(l_ref),
+                               atol=5e-4)
