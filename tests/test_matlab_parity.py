@@ -117,3 +117,41 @@ def test_accumulated_chain_matches_stored(stored, fixture_clouds):
         ref_chain = ref_chain @ stored.pair_transform(i)
     dt = np.linalg.norm(ours_chain[:3, 3] - ref_chain[:3, 3])
     assert dt < 4 * TRANS_TOL_M, f"chained translation drift {dt*1e3:.2f} mm"
+
+
+def test_batch_runner_matches_stored(stored, tmp_path):
+    """The MATLAB-analog batch driver (batch.run_batch — the
+    rgbddataset_rkhs.m re-expression) over the vendored pcd_ds/
+    directory reproduces the stored .mat per-pair transforms AND the
+    accumulated chain (VERDICT r1 item 7): same data as the API-level
+    parity tests above, exercised through directory loading, the
+    preprocessing defaults, skip-and-mark, and the npz writer."""
+    from cvo_rgbd_tpu.batch import run_batch
+
+    out = tmp_path / "batch.npz"
+    results, times = run_batch(
+        f"{DS}/pcd_ds", output=str(out), log=lambda *a: None
+    )
+    assert results.shape == (5, 4, 4)
+    np.testing.assert_array_equal(results[0], np.eye(4))
+    assert times.shape == (4,)
+
+    ours_chain = np.eye(4)
+    ref_chain = np.eye(4)
+    for i in range(4):
+        got = results[i + 1]
+        ref = stored.pair_transform(i)
+        dt = np.linalg.norm(got[:3, 3] - ref[:3, 3])
+        dR = got[:3, :3] @ ref[:3, :3].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        assert dt < TRANS_TOL_M, f"pair {i}: {dt*1e3:.2f} mm"
+        assert ang < ROT_TOL_RAD, f"pair {i}: {ang:.2e} rad"
+        ours_chain = ours_chain @ got
+        ref_chain = ref_chain @ stored.pair_transform(i)
+    dt = np.linalg.norm(ours_chain[:3, 3] - ref_chain[:3, 3])
+    assert dt < 4 * TRANS_TOL_M, f"chained drift {dt*1e3:.2f} mm"
+
+    # the npz is the rgbddataset_rkhs.m .mat analog: reload and check
+    dat = np.load(out, allow_pickle=False)
+    np.testing.assert_array_equal(dat["results"], results)
+    np.testing.assert_array_equal(dat["registration_time"], times)
