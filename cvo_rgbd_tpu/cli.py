@@ -23,12 +23,13 @@ def _cmd_run(args):
         cls = AcvoParams if args.adaptive else CvoParams
         params = cls(backend=args.backend)
     if args.batch > 1:
-        if args.adaptive or args.checkpoint:
-            raise SystemExit("--batch supports the cvo variant without checkpointing")
+        if args.checkpoint:
+            raise SystemExit("--batch does not support checkpointing")
         from cvo_rgbd_tpu.odometry import run_odometry_batched
 
         run_odometry_batched(
-            args.folder, seq, params=params, output=args.output,
+            args.folder, seq, adaptive=args.adaptive, params=params,
+            output=args.output,
             max_frames=args.max_frames, num_want=args.num_want,
             batch=args.batch, use_native=not args.no_native_io,
         )
@@ -48,12 +49,15 @@ def _cmd_run(args):
 
 def _cmd_multiseq(args):
     from cvo_rgbd_tpu.multiseq import run_multiseq
-    from cvo_rgbd_tpu.params import CvoParams
+    from cvo_rgbd_tpu.params import AcvoParams, CvoParams
 
     seq = int(args.seq) if args.seq.isdigit() else args.seq
-    params = CvoParams(backend=args.backend) if args.backend != "xla" else None
+    params = None
+    if args.backend != "xla":
+        cls = AcvoParams if args.adaptive else CvoParams
+        params = cls(backend=args.backend)
     run_multiseq(
-        args.folders, seq, params=params,
+        args.folders, seq, adaptive=args.adaptive, params=params,
         num_want=args.num_want, max_frames=args.max_frames,
     )
 
@@ -191,6 +195,7 @@ def main(argv=None):
     )
     pm.add_argument("seq", help="camera key shared by all folders")
     pm.add_argument("folders", nargs="+")
+    pm.add_argument("--adaptive", action="store_true")
     pm.add_argument("--num-want", type=int, default=3000)
     pm.add_argument("--max-frames", type=int)
     pm.add_argument("--backend", default="xla",

@@ -27,6 +27,7 @@ from cvo_rgbd_tpu.core.cloud import stack_clouds as _stack
 def run_multiseq(
     folders,
     dataset_seq,
+    adaptive=False,
     params=None,
     num_want=3000,
     max_frames=None,
@@ -37,10 +38,14 @@ def run_multiseq(
 
     Returns {folder: trajectory_path}.  Sequences shorter than the
     longest simply stop contributing (their last clouds are re-used as
-    no-op pairs and their trajectories stop growing).
+    no-op pairs and their trajectories stop growing).  `adaptive` picks
+    acvo (feature_type 0 frontend + AcvoParams defaults) per pair,
+    matching run_odometry.
     """
-    params = params or CvoParams()
-    frontend = make_frontend(dataset_seq, num_want, 1)
+    from cvo_rgbd_tpu.params import AcvoParams
+
+    params = params or (AcvoParams() if adaptive else CvoParams())
+    frontend = make_frontend(dataset_seq, num_want, 0 if adaptive else 1)
 
     seqs = []
     for folder in folders:
@@ -53,7 +58,10 @@ def run_multiseq(
     outs = {}
     handles = []
     for s in seqs:
-        path = os.path.join(s["folder"], "cvo_poses_qt_batch.txt")
+        path = os.path.join(
+            s["folder"],
+            "acvo_poses_qt_batch.txt" if adaptive else "cvo_poses_qt_batch.txt",
+        )
         outs[s["folder"]] = path
         handles.append(open(path, "w"))
 

@@ -211,6 +211,7 @@ def run_odometry(
 def run_odometry_batched(
     folder,
     dataset_seq,
+    adaptive=False,
     params=None,
     output=None,
     max_frames=None,
@@ -225,18 +226,23 @@ def run_odometry_batched(
     pose chain is sequential, so an offline trajectory can register
     `batch` pairs per device step (`parallel.align_batched`) and chain
     the results afterwards — amortizing per-call overhead and, on a
-    mesh, sharding pairs over the `dp` axis.  Returns list[FrameRecord].
+    mesh, sharding pairs over the `dp` axis.  `adaptive` picks acvo
+    (feature_type 0, per-pair ell reset — adaptive_cvo.cpp:451,
+    476-485) exactly as in `run_odometry`.  Returns list[FrameRecord].
     """
     from cvo_rgbd_tpu.core.cloud import PointCloud
     from cvo_rgbd_tpu.parallel import align_batched
 
-    params = params or CvoParams()
-    frontend = make_frontend(dataset_seq, num_want, 1)
+    params = params or (AcvoParams() if adaptive else CvoParams())
+    feature_type = 0 if adaptive else 1
+    frontend = make_frontend(dataset_seq, num_want, feature_type)
     entries = load_assoc(os.path.join(folder, "assoc.txt"))
     if max_frames:
         entries = entries[:max_frames]
     if output is None:
-        output = os.path.join(folder, "cvo_poses_qt.txt")
+        output = os.path.join(
+            folder, "acvo_poses_qt.txt" if adaptive else "cvo_poses_qt.txt"
+        )
     if len(entries) < 2:
         raise ValueError("need at least 2 frames")
 

@@ -37,3 +37,25 @@ def test_multiseq_matches_single(synth_dataset, tmp_path):
     ate_b = ate_rmse(gt, read_trajectory(path))["rmse"]
     ate_s = ate_rmse(gt, single)["rmse"]
     assert ate_b < max(2 * ate_s, 0.012)
+
+
+def test_multiseq_adaptive_matches_single(synth_dataset, tmp_path):
+    """acvo through multiseq (VERDICT r1 weak item 5)."""
+    from cvo_rgbd_tpu.params import AcvoParams
+
+    p = AcvoParams(max_iter=100)
+    out_single = tmp_path / "single.txt"
+    run_odometry(str(synth_dataset), 1, adaptive=True, params=p,
+                 num_want=NUM_WANT, output=str(out_single), max_frames=4,
+                 log=lambda *a: None)
+
+    outs = run_multiseq([str(synth_dataset)], 1, adaptive=True, params=p,
+                        num_want=NUM_WANT, max_frames=4,
+                        log=lambda *a: None)
+    (path,) = set(outs.values())
+    assert path.endswith("acvo_poses_qt_batch.txt")
+    single = read_trajectory(out_single)
+    batched = read_trajectory(path)
+    assert set(batched) == set(single)
+    for t in single:
+        np.testing.assert_allclose(batched[t], single[t], atol=5e-3)
