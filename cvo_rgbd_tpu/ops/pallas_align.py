@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cvo_rgbd_tpu.core.step_factored import M_INDEX, Poly
 from cvo_rgbd_tpu.ops.pallas_gram import _auto_interpret
 
 _BIG = 1e30
@@ -387,9 +388,11 @@ def _make_kernel(p, nfeat, adaptive=False):
             # x as (1,N) rows, y as (M,1) columns
             xtr = refs[2 * nplanes:3 * nplanes]
             ytr = refs[3 * nplanes:4 * nplanes]
-            acc_ref = refs[4 * nplanes]
+            phi_ref = refs[4 * nplanes]
+            acc_ref = refs[4 * nplanes + 1]
         else:
-            acc_ref = refs[2 * nplanes]
+            phi_ref = refs[2 * nplanes]
+            acc_ref = refs[2 * nplanes + 1]
 
         x0, x1, x2 = (xrefs[i][:, :] for i in range(3))       # (N,1)
         xf = tuple(xrefs[3 + i][:, :] for i in range(nfeat))
@@ -440,6 +443,7 @@ def _make_kernel(p, nfeat, adaptive=False):
 
         R0 = tuple(init_ref[0, i] for i in range(9))
         T0 = tuple(init_ref[0, 9 + i] for i in range(3))
+        c0 = tuple(init_ref[0, 12 + i] for i in range(3))  # phi center
 
         def body(carry):
             (k, conv, R, T, tf, ell, ell_max, _om, _v) = carry
@@ -529,24 +533,62 @@ def _make_kernel(p, nfeat, adaptive=False):
             xiz_dot_xi2z = -vdot(xiz, xi2z)
             epsil_const = vdot(xi2z, xi2z) + 2.0 * vdot(xiz, xi3z)
 
-            def dotfield(wf):
-                s = x0 * wf[0] + x1 * wf[1] + x2 * wf[2]
-                wy = wf[0] * ty0 + wf[1] * ty1 + wf[2] * ty2
-                return s - wy
+            # ---- line-search coefficients via the moment contraction
+            # (core/moments.py brought in-kernel): every per-pair field
+            # beta..epsil is affine in the centered fixed point x', so
+            # B..E contract the per-j coefficient polynomials against
+            # MomT = Phi(x')^T A — ONE MXU op replacing the ~10 (N,M)
+            # elementwise field/reduction passes of the direct form.
+            momT = jax.lax.dot_general(
+                phi_ref[:, :], A, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                 # [128, M]
 
             tc = inv2l2
-            beta = -2.0 * tc * dotfield(xiz)
-            gamma = -tc * (normxiz2 + 2.0 * dotfield(xi2z))
-            delta = 2.0 * tc * (xiz_dot_xi2z - dotfield(xi3z))
-            epsil = -tc * (epsil_const + 2.0 * dotfield(xi4z))
-            beta2 = beta * beta
-            B = jnp.sum(A * beta)
-            C = jnp.sum(A * (gamma + 0.5 * beta2))
-            D = jnp.sum(A * (delta + beta * gamma + beta2 * beta / 6.0))
-            E = jnp.sum(
-                A * (epsil + beta * delta + 0.5 * beta2 * gamma
-                     + 0.5 * gamma * gamma + beta2 * beta2 / 24.0)
+            tyc = (ty0 - c0[0], ty1 - c0[1], ty2 - c0[2])
+            b_a = 2.0 * tc * vdot(xiz, tyc)
+            g_a = -tc * normxiz2 + 2.0 * tc * vdot(xi2z, tyc)
+            d_a = 2.0 * tc * xiz_dot_xi2z + 2.0 * tc * vdot(xi3z, tyc)
+            e_a = -tc * epsil_const + 2.0 * tc * vdot(xi4z, tyc)
+
+            def aff(a_row, field):
+                return Poly({
+                    (0, 0, 0): a_row,
+                    (1, 0, 0): -2.0 * tc * field[0],
+                    (0, 1, 0): -2.0 * tc * field[1],
+                    (0, 0, 1): -2.0 * tc * field[2],
+                })
+
+            beta_p = aff(b_a, xiz)
+            gamma_p = aff(g_a, xi2z)
+            delta_p = aff(d_a, xi3z)
+            epsil_p = aff(e_a, xi4z)
+            beta2_p = beta_p * beta_p
+            beta3_p = beta2_p * beta_p
+            beta4_p = beta3_p * beta_p
+            P_B = beta_p
+            P_C = gamma_p + 0.5 * beta2_p
+            P_D = delta_p + gamma_p * beta_p + (1.0 / 6.0) * beta3_p
+            P_E = (
+                epsil_p
+                + delta_p * beta_p
+                + 0.5 * (gamma_p * beta_p) * beta_p
+                + 0.5 * (gamma_p * gamma_p)
+                + (1.0 / 24.0) * beta4_p
             )
+
+            def contract(poly):
+                s = jnp.float32(0.0)
+                for e, crow in poly.terms.items():
+                    i = M_INDEX[e]
+                    s = s + jnp.sum(crow * momT[i:i + 1, :])
+                return s
+
+            B = contract(P_B)
+            C = contract(P_C)
+            D = contract(P_D)
+            E = contract(P_E)
             step = _cubic_min_positive(
                 4.0 * E, 3.0 * D, 2.0 * C, B, min_step, max_step
             )
@@ -695,7 +737,18 @@ def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
     R0 = (jnp.eye(3, dtype=jnp.float32) if R0 is None
           else jnp.asarray(R0, jnp.float32))
     T0 = jnp.zeros(3, jnp.float32) if T0 is None else jnp.asarray(T0, jnp.float32)
-    init = jnp.concatenate([R0.reshape(9), T0.reshape(3), jnp.zeros(4)])
+
+    # center for the moment basis: masked centroid of the fixed cloud
+    # (bounds the degree-4 monomial cancellation, core/step_factored.py)
+    from cvo_rgbd_tpu.core.moments import monomial_features_padded
+
+    w = fixed.mask.astype(jnp.float32)
+    c0 = jnp.sum(fixed.positions * w[:, None], axis=0) / jnp.maximum(
+        jnp.sum(w), 1.0
+    )
+    phi = monomial_features_padded(fixed.positions - c0)       # [N,128]
+
+    init = jnp.concatenate([R0.reshape(9), T0.reshape(3), c0, jnp.zeros(1)])
     init = init.reshape(1, 16).astype(jnp.float32)
 
     nplanes = 3 + nfeat + 1
@@ -709,6 +762,7 @@ def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
         # transposed orientations for the Axx/Ayy self tiles
         operands += list(_pack_y(fixed.positions, fixed.features, fixed.mask))
         operands += list(_pack_x(moving.positions, moving.features, moving.mask))
+    operands.append(phi)
     acc = pl.pallas_call(
         _make_kernel(p, nfeat, adaptive),
         in_specs=[smem] + [vmem] * len(operands),

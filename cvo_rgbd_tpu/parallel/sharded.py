@@ -48,7 +48,7 @@ from cvo_rgbd_tpu.core import flow as flow_mod
 from cvo_rgbd_tpu.core import gram as gram_mod
 from cvo_rgbd_tpu.core.cloud import PointCloud, transform_cloud
 from cvo_rgbd_tpu.core.registration import AlignResult, AlignState, _schedule_ell
-from cvo_rgbd_tpu.core.step import step_coefficients
+from cvo_rgbd_tpu.core.step_factored import step_coefficients_factored
 from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
 from cvo_rgbd_tpu.params import AcvoParams
 
@@ -180,7 +180,13 @@ def _make_sharded_inner(p, axis, adaptive):
             else:
                 dl = jnp.zeros((), jnp.float32)
 
-            Bl, Cl, Dl, El = step_coefficients(A, xp, yp, omega, v, state.ell)
+            # moment-factored on the local block (one MXU matmul per
+            # device, no [N/sp, M] field materialization); the
+            # per-shard A-weighted centering is exact, so the psum'd
+            # coefficients match the unsharded ones
+            Bl, Cl, Dl, El = step_coefficients_factored(
+                A, xp, yp, omega, v, state.ell
+            )
             B = jax.lax.psum(Bl, axis)
             C = jax.lax.psum(Cl, axis)
             D = jax.lax.psum(Dl, axis)
@@ -395,7 +401,7 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                 B, C, D, E = carry
                 ypb = transform_cloud(tf_R, tf_T, blk[0])
                 A = _se_gram(p, xp, xf, xm, ypb, blk[1], blk[2], state.ell)
-                Bl, Cl, Dl, El = step_coefficients(
+                Bl, Cl, Dl, El = step_coefficients_factored(
                     A, xp, ypb, omega, v, state.ell
                 )
                 return (B + Bl, C + Cl, D + Dl, E + El)
