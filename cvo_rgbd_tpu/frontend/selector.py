@@ -19,9 +19,14 @@ data-dependent counts), so this module re-derives it TPU-first:
   top-k over (tier, gradient) scores, which hits exactly `num_want`
   candidates by construction;
 - the Canny top-up fallback (pcd_generator.cpp:135-163) is replaced by
-  a gradient top-k refill: if fewer than num_want pixels pass the
-  thresholds, the remaining slots fill with the strongest
-  not-yet-selected gradients.
+  a gated, block-distributed gradient refill with the reference's exact
+  semantics: it fires ONLY when the tier selection yields fewer than
+  num_want/3 pixels (pcd_generator.cpp:135), and contributes at most
+  one pixel per 8x8 block (the reference adds one Canny-edge pixel per
+  8x8 block, pcd_generator.cpp:138,144-161), ranked by gradient.  On
+  adequately textured scenes the cloud therefore carries exactly the
+  tier winners (possibly fewer than num_want, like DSO), and
+  weak-texture pixels never pad it out.
 
 Output is a fixed-size [num_want] index array + validity mask: bit
 parity with DSO masks is a non-goal, trajectory parity is (SURVEY.md
@@ -175,11 +180,23 @@ def select_pixels(pyramid, num_want, pot=3):
         contrib = jnp.where(ok.reshape(-1), base + squash(val.reshape(-1)), 0.0)
         score = score.at[flat].max(contrib)
 
-    # refill tier in (0, 1): any in-border pixel by raw gradient
-    # (Canny-top-up analog, pcd_generator.cpp:135-163) — these count as
-    # selected, like the reference's topped-up Canny points
-    asg_flat = asg0.reshape(-1)
-    refill = jnp.where((inb & (asg0 > 0)).reshape(-1), squash(asg_flat), 0.0)
+    # refill tier in (0, 1) — the Canny-top-up analog with the
+    # reference's gate and distribution (pcd_generator.cpp:135-163):
+    # fires only when the tier selection found fewer than num_want/3
+    # pixels, and contributes at most ONE pixel per 8x8 block (the
+    # reference scans each 8x8 block for its first Canny-edge pixel),
+    # here the block's strongest in-border gradient.
+    n_tier = jnp.sum(score >= 1.0)
+    gate = n_tier < (num_want // 3)
+    refill_src = jnp.where(inb & (asg0 > 0), asg0, neg)
+    rp = pad_to(refill_src, 8, neg)
+    hp, wp = rp.shape
+    idx_p, val = _blockwise_argmax(rp, 8)
+    yy, xx = idx_p // wp, idx_p % wp
+    ok = jnp.isfinite(val) & (yy < h) & (xx < w)
+    flat = (yy * w + xx).reshape(-1)
+    contrib = jnp.where(ok.reshape(-1) & gate, squash(val.reshape(-1)), 0.0)
+    refill = jnp.zeros((h * w,), jnp.float32).at[flat].max(contrib)
     score = jnp.maximum(score, refill)
 
     val, idx = jax.lax.top_k(score, num_want)

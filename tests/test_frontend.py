@@ -91,6 +91,55 @@ def test_selector_flat_image_refill(rng):
     assert np.asarray(valid).sum() == 0  # zero gradient everywhere
 
 
+def test_selector_no_weak_texture_padding(rng):
+    """Textured quadrant on a near-flat background: the tiers find
+    enough pixels (>= num_want/3) to close the refill gate
+    (pcd_generator.cpp:135), so weak-texture background pixels are NOT
+    padded in — the cloud carries only the tier winners, possibly fewer
+    than num_want, exactly like DSO."""
+    h, w = 128, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    gray = np.full((h, w), 100.0, np.float32)
+    gray += rng.normal(0, 0.2, (h, w)).astype(np.float32)
+    gray[:64, :64] = (127 + 100 * np.sin(xx / 2.0) * np.cos(yy / 3.0))[:64, :64]
+    pyr = image.make_pyramid(gray)
+    num_want = 1200
+    idx, valid = selector.select_pixels(pyr, num_want)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    sel = idx[valid]
+    assert num_want // 3 <= len(sel) < num_want
+    ys, xs = sel // w, sel % w
+    # everything comes from the textured quadrant (plus its boundary
+    # bleed through the coarse pyramid levels) — no flat-noise pixels
+    assert (ys <= 70).all() and (xs <= 70).all()
+
+
+def test_selector_refill_gate_and_block_distribution(rng):
+    """Nearly-flat scene with one step edge: tier winners < num_want/3,
+    so the refill gate fires (pcd_generator.cpp:135) and tops up with at
+    most ONE pixel per 8x8 block (the reference's per-block Canny scan,
+    pcd_generator.cpp:138-161)."""
+    h, w = 96, 128
+    gray = np.full((h, w), 100.0, np.float32)
+    gray += rng.normal(0, 0.05, (h, w)).astype(np.float32)
+    gray[:, 64:] += 40.0  # one vertical step edge
+    pyr = image.make_pyramid(gray)
+    idx, valid = selector.select_pixels(pyr, 300)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    sel = idx[valid]
+    xs = sel % w
+    # tier winners can only live near the edge (the sole gradient
+    # source, reach <= ~6 px through the coarse pyramid levels); noise
+    # pixels far from it can only have entered through the top-up
+    tier = sel[np.abs(xs - 63.5) <= 6]
+    refill = sel[np.abs(xs - 63.5) > 6]
+    assert len(tier) < 100             # gate condition really held
+    assert len(refill) > 0             # ...and the top-up fired
+    # block distribution: at most one refill pixel per 8x8 block
+    blocks = (refill // w) // 8 * (w // 8) + (refill % w) // 8
+    assert len(np.unique(blocks)) == len(blocks)
+
+
 def test_pipeline_backprojection(rng):
     rgb, depth = synth_rgbd(rng)
     cloud = pipeline.process_frame(rgb, depth, "fr1", num_want=512)
