@@ -11,6 +11,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from cvo_rgbd_tpu.core import AlignResult, PointCloud, align, pad_cloud
 from cvo_rgbd_tpu.core.registration import function_inner_product
@@ -36,9 +37,16 @@ def _compiled_align(params):
     return jax.jit(functools.partial(align, params))
 
 
-def align_jit(params, fixed, moving, R0=None, T0=None) -> AlignResult:
-    """jitted `align`; compiled once per (params, cloud capacity)."""
+def align_jit(params, fixed, moving, R0=None, T0=None,
+              ell0=None) -> AlignResult:
+    """jitted `align`; compiled once per (params, cloud capacity).
+
+    `R0`/`T0`/`ell0` warm-start the align state (the reference's
+    across-pair R/T/ell persistence — see core.registration.align)."""
     fn = _compiled_align(params)
-    if R0 is None and T0 is None:
+    if R0 is None and T0 is None and ell0 is None:
         return fn(fixed, moving)
-    return fn(fixed, moving, R0, T0)
+    R0 = jnp.eye(3, dtype=jnp.float32) if R0 is None else R0
+    T0 = jnp.zeros(3, dtype=jnp.float32) if T0 is None else T0
+    ell0 = jnp.asarray(params.ell_init, jnp.float32) if ell0 is None else ell0
+    return fn(fixed, moving, R0, T0, ell0)

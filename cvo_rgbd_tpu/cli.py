@@ -44,6 +44,7 @@ def _cmd_run(args):
             checkpoint=args.checkpoint,
             num_want=args.num_want,
             use_native=not args.no_native_io,
+            warm_start=not args.cold_start,
         )
 
 
@@ -186,6 +187,10 @@ def main(argv=None):
                     help="disable the C++ prefetch loader")
     pr.add_argument("--batch", type=int, default=1,
                     help="register this many pairs per device step (offline mode)")
+    pr.add_argument("--cold-start", action="store_true",
+                    help="start every pair from identity at ell_init "
+                    "instead of the reference's across-pair R/T/ell "
+                    "warm start (cvo.cpp:43-45, 398-399)")
     pr.set_defaults(fn=_cmd_run)
 
     pm = sub.add_parser(

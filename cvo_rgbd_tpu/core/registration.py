@@ -325,12 +325,27 @@ def align(
     moving: PointCloud,
     R0=None,
     T0=None,
+    ell0=None,
 ) -> AlignResult:
     """Register `moving` onto `fixed`; pure function of its inputs.
 
     `p` (CvoParams/AcvoParams) is static — jit with
     `jax.jit(align, static_argnums=0)` or use the cached wrapper in
     `cvo_rgbd_tpu.api`.
+
+    `R0`/`T0` seed the internal R, T state.  The reference never resets
+    its R/T members between pairs (cvo.cpp:43-45 initialize them once;
+    align at cvo.cpp:398-399 leaves the converged values behind), so a
+    sequential odometry run warm-starts every pair after the first with
+    the previous pair's relative transform — pass `AlignResult.R/.T` of
+    the preceding pair for that semantics (odometry.run_odometry does).
+
+    `ell0` seeds the kernel length-scale.  cvo also never resets `ell`
+    between pairs, so iterations 0-2 of every pair after the first run
+    at the ell the previous align ended on (the k>2/9/19 schedule,
+    cvo.cpp:408-410, overwrites it with absolute values from iteration
+    3 on).  acvo DOES reset ell per pair (adaptive_cvo.cpp:475).
+    Defaults to `p.ell_init`.
     """
     adaptive = isinstance(p, AcvoParams)
     if getattr(p, "backend", "xla") == "fused":
@@ -344,7 +359,7 @@ def align(
         from cvo_rgbd_tpu.ops.pallas_align import align_fused, fused_eligible
 
         if fused_eligible(p, fixed, moving):
-            return align_fused(p, fixed, moving, R0, T0)
+            return align_fused(p, fixed, moving, R0, T0, ell0)
         quirk = adaptive and p.yy_quirk
         lin_acvo = adaptive and p.color_mode == "linear"
         # the per-iteration pallas backend tiles capacities in 128-lane
@@ -361,6 +376,7 @@ def align(
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
     T0 = jnp.zeros(3, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)
+    ell0 = p.ell_init if ell0 is None else ell0
 
     ci = prepare_ci(p, fixed, moving)
 
@@ -369,7 +385,7 @@ def align(
         k=jnp.zeros((), jnp.int32),
         R=R0,
         T=T0,
-        ell=jnp.asarray(p.ell_init, dtype),
+        ell=jnp.asarray(ell0, dtype),
         ell_max=jnp.asarray(ell_max0, dtype),
         tf=jnp.eye(4, dtype=dtype),
         converged=jnp.zeros((), bool),

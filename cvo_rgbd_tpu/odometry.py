@@ -43,11 +43,25 @@ class FrameRecord:
 class OdometryState:
     frame_index: int          # next frame to process
     accum: np.ndarray         # [4,4] accumulated transform
+    # across-pair warm-start state (the reference's persistent R/T/ell
+    # members, cvo.cpp:43-45, 398-399): None = cold (identity/ell_init)
+    warm_R: np.ndarray | None = None   # [3,3]
+    warm_T: np.ndarray | None = None   # [3]
+    warm_ell: float | None = None      # cvo only; acvo resets per pair
 
     def save(self, path):
         with open(path, "w") as f:
             json.dump(
-                {"frame_index": self.frame_index, "accum": self.accum.tolist()},
+                {
+                    "frame_index": self.frame_index,
+                    "accum": self.accum.tolist(),
+                    "warm_R": None if self.warm_R is None
+                    else np.asarray(self.warm_R).tolist(),
+                    "warm_T": None if self.warm_T is None
+                    else np.asarray(self.warm_T).tolist(),
+                    "warm_ell": None if self.warm_ell is None
+                    else float(self.warm_ell),
+                },
                 f,
             )
 
@@ -55,7 +69,13 @@ class OdometryState:
     def load(path) -> "OdometryState":
         with open(path) as f:
             d = json.load(f)
-        return OdometryState(d["frame_index"], np.array(d["accum"]))
+        arr = lambda v, dt: None if v is None else np.array(v, dt)  # noqa: E731
+        return OdometryState(
+            d["frame_index"], np.array(d["accum"]),
+            warm_R=arr(d.get("warm_R"), np.float32),
+            warm_T=arr(d.get("warm_T"), np.float32),
+            warm_ell=d.get("warm_ell"),
+        )
 
 
 def load_image_pair(folder, entry):
@@ -121,6 +141,7 @@ def run_odometry(
     checkpoint=None,
     num_want=3000,
     use_native=True,
+    warm_start=True,
     log=print,
 ):
     """Run the full odometry loop.  Returns list[FrameRecord].
@@ -128,6 +149,16 @@ def run_odometry(
     `dataset_seq` selects camera intrinsics (int or name, see
     frontend.camera).  `adaptive` picks acvo (feature_type 0 + adaptive
     ell, adaptive_cvo.cpp:451) vs cvo (feature_type 1, cvo.cpp:340).
+
+    `warm_start` (default True = reference semantics): the reference's
+    R/T members persist across pairs (cvo.cpp:43-45, 398-399 — never
+    reset by set_pcd), so every pair after the first starts from the
+    previous pair's converged relative transform; for cvo, `ell` also
+    carries over (iterations 0-2 run at the previous align's final
+    length-scale before the absolute k>2/9/19 schedule takes over,
+    cvo.cpp:408-410), while acvo resets ell per pair
+    (adaptive_cvo.cpp:475).  False starts every pair from identity at
+    ell_init.  A skipped (non-finite) pair resets the warm state.
     """
     params = params or (AcvoParams() if adaptive else CvoParams())
     feature_type = 0 if adaptive else 1
@@ -150,6 +181,21 @@ def run_odometry(
 
     records: list[FrameRecord] = []
     fixed_cloud = None
+    # (R0, T0, ell0) for the next pair; explicit cold values keep the
+    # warm and cold paths on ONE compiled align signature
+    cold = (
+        (np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+         None if adaptive else np.float32(params.ell_init))
+        if warm_start else (None, None, None)
+    )
+    warm = cold
+    if warm_start and state.warm_R is not None:
+        # resume with the checkpointed across-pair state
+        warm = (
+            np.asarray(state.warm_R, np.float32),
+            np.asarray(state.warm_T, np.float32),
+            None if adaptive else np.float32(state.warm_ell),
+        )
     start = max(state.frame_index - 1, 0)
     total_t0 = time.time()
 
@@ -167,15 +213,24 @@ def run_odometry(
                     state.frame_index = i + 1
                 continue
 
-            res = align_jit(params, fixed_cloud, cloud)
+            res = align_jit(params, fixed_cloud, cloud, *warm)
             tf = np.asarray(res.tf)
             failed = not bool(np.isfinite(tf).all())
             if failed:
                 # skip-and-mark (rgbddataset_rkhs.m:49-81): keep previous
                 # accum, use the new frame as the next fixed cloud
                 log(f"frame {i}: non-finite transform, skipping")
+                warm = cold
             else:
                 state.accum = state.accum @ tf
+                if warm_start:
+                    # persist R/T (both variants) and ell (cvo only —
+                    # acvo resets it per pair, adaptive_cvo.cpp:475)
+                    warm = (
+                        np.asarray(res.R),
+                        np.asarray(res.T),
+                        None if adaptive else np.float32(res.ell),
+                    )
             fixed_cloud = cloud
 
             dt = time.time() - t0
@@ -192,6 +247,10 @@ def run_odometry(
             traj.flush()
             state.frame_index = i + 1
             if checkpoint:
+                state.warm_R, state.warm_T = warm[0], warm[1]
+                state.warm_ell = (
+                    None if warm[2] is None else float(warm[2])
+                )
                 state.save(checkpoint)
             log(
                 f"frame {i}/{len(entries)}: iters={rec.iterations} "

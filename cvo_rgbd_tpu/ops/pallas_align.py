@@ -444,6 +444,8 @@ def _make_kernel(p, nfeat, adaptive=False):
         R0 = tuple(init_ref[0, i] for i in range(9))
         T0 = tuple(init_ref[0, 9 + i] for i in range(3))
         c0 = tuple(init_ref[0, 12 + i] for i in range(3))  # phi center
+        ell0 = init_ref[0, 15]          # length-scale seed (cvo carries
+                                        # ell across pairs, cvo.cpp:408)
 
         def body(carry):
             (k, conv, R, T, tf, ell, ell_max, _om, _v) = carry
@@ -656,7 +658,7 @@ def _make_kernel(p, nfeat, adaptive=False):
             tuple(f32(v) for v in R0),
             tuple(f32(v) for v in T0),
             tf_eye,
-            f32(p.ell_init),
+            f32(ell0),
             f32(ell_max_init if adaptive else 1e9),
             zero3,
             zero3,
@@ -701,12 +703,15 @@ def fused_eligible(p, fixed, moving) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
-def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
+def align_fused(p, fixed, moving, R0=None, T0=None, ell0=None, *,
+                interpret=None):
     """Single-kernel align; drop-in for core.registration.align on
     VMEM-resident clouds (cvo and acvo — see `fused_eligible`).
 
     Returns the same AlignResult contract (tf from the top of the last
-    executed iteration, iterations = k-1, cvo.cpp:413-415).
+    executed iteration, iterations = k-1, cvo.cpp:413-415).  `R0`/`T0`
+    seed the internal R, T state and `ell0` the length-scale (see
+    core.registration.align's warm-start note).
     """
     from cvo_rgbd_tpu.core.registration import AlignResult
 
@@ -748,7 +753,9 @@ def align_fused(p, fixed, moving, R0=None, T0=None, *, interpret=None):
     )
     phi = monomial_features_padded(fixed.positions - c0)       # [N,128]
 
-    init = jnp.concatenate([R0.reshape(9), T0.reshape(3), c0, jnp.zeros(1)])
+    ell0 = jnp.asarray(p.ell_init if ell0 is None else ell0, jnp.float32)
+    init = jnp.concatenate([R0.reshape(9), T0.reshape(3), c0,
+                            ell0.reshape(1)])
     init = init.reshape(1, 16).astype(jnp.float32)
 
     nplanes = 3 + nfeat + 1

@@ -15,7 +15,8 @@ def test_multiseq_matches_single(synth_dataset, tmp_path):
     # single-sequence reference
     out_single = tmp_path / "single.txt"
     run_odometry(str(synth_dataset), 1, params=p, num_want=NUM_WANT,
-                 output=str(out_single), log=lambda *a: None)
+                 output=str(out_single), warm_start=False,
+                 log=lambda *a: None)
 
     # the same folder twice, in lockstep batch
     outs = run_multiseq([str(synth_dataset), str(synth_dataset)], 1,
@@ -47,7 +48,7 @@ def test_multiseq_adaptive_matches_single(synth_dataset, tmp_path):
     out_single = tmp_path / "single.txt"
     run_odometry(str(synth_dataset), 1, adaptive=True, params=p,
                  num_want=NUM_WANT, output=str(out_single), max_frames=4,
-                 log=lambda *a: None)
+                 warm_start=False, log=lambda *a: None)
 
     outs = run_multiseq([str(synth_dataset)], 1, adaptive=True, params=p,
                         num_want=NUM_WANT, max_frames=4,

@@ -100,6 +100,34 @@ def test_odometry_end_to_end(synth_dataset):
     assert abs(last[2, 3]) < 0.35 * last[0, 3]
 
 
+def test_odometry_warm_start(synth_dataset, tmp_path):
+    """Across-pair warm start (reference semantics: R/T/ell members
+    persist between run_cvo calls, cvo.cpp:43-45, 398-399, 408-410).
+    The warm path must converge in no more iterations than the cold
+    path on average and stay accurate."""
+    out_cold = tmp_path / "cold.txt"
+    rec_cold = run_odometry(
+        str(synth_dataset), 1, num_want=NUM_WANT, output=str(out_cold),
+        warm_start=False, log=lambda *a: None,
+    )
+    out_warm = tmp_path / "warm.txt"
+    rec_warm = run_odometry(
+        str(synth_dataset), 1, num_want=NUM_WANT, output=str(out_warm),
+        warm_start=True, log=lambda *a: None,
+    )
+    assert all(not r.failed for r in rec_warm)
+    it_cold = np.mean([r.iterations for r in rec_cold])
+    it_warm = np.mean([r.iterations for r in rec_warm])
+    # constant per-frame motion: the previous transform is a near-exact
+    # prior, so warm convergence is at least as fast
+    assert it_warm <= it_cold + 1, (it_warm, it_cold)
+    gt = read_trajectory(synth_dataset / "groundtruth.txt")
+    warm_stats = ate_rmse(gt, read_trajectory(out_warm))
+    cold_stats = ate_rmse(gt, read_trajectory(out_cold))
+    assert warm_stats["rmse"] < 0.012, warm_stats
+    assert warm_stats["rmse"] <= cold_stats["rmse"] * 1.5
+
+
 def test_odometry_checkpoint_resume(synth_dataset, tmp_path):
     out_full = tmp_path / "full.txt"
     run_odometry(
@@ -146,8 +174,10 @@ def test_odometry_batched_matches_sequential(synth_dataset, tmp_path):
 
     p = CvoParams(max_iter=100)
     out_seq = tmp_path / "seq.txt"
+    # batched mode registers pairs independently (no across-pair warm
+    # start), so compare against the cold sequential path
     run_odometry(str(synth_dataset), 1, params=p, num_want=NUM_WANT,
-                 output=str(out_seq), log=lambda *a: None)
+                 output=str(out_seq), warm_start=False, log=lambda *a: None)
     out_bat = tmp_path / "bat.txt"
     run_odometry_batched(str(synth_dataset), 1, params=p, num_want=NUM_WANT,
                          output=str(out_bat), batch=4, log=lambda *a: None)
@@ -169,7 +199,7 @@ def test_odometry_batched_adaptive_matches_sequential(synth_dataset, tmp_path):
     out_seq = tmp_path / "seq.txt"
     run_odometry(str(synth_dataset), 1, adaptive=True, params=p,
                  num_want=NUM_WANT, output=str(out_seq), max_frames=4,
-                 log=lambda *a: None)
+                 warm_start=False, log=lambda *a: None)
     out_bat = tmp_path / "bat.txt"
     records = run_odometry_batched(
         str(synth_dataset), 1, adaptive=True, params=p, num_want=NUM_WANT,

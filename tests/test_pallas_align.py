@@ -54,6 +54,31 @@ def test_fused_warm_start(rng):
     assert int(got.iterations) == int(ref.iterations)
 
 
+def test_ell0_seed_matches_across_backends(rng):
+    """`ell0` seeds the length-scale state (the reference cvo carries
+    ell across pairs, cvo.cpp:408-410): explicit ell_init reproduces the
+    default exactly, a carried-over ell changes iterations 0-2 only,
+    and the fused kernel agrees with XLA for both."""
+    x, y = _pair(rng, 3)
+    base = align_jit(MATLAB_PARAMS, x, y)
+    seeded = align_jit(MATLAB_PARAMS, x, y, ell0=MATLAB_PARAMS.ell_init)
+    np.testing.assert_array_equal(np.asarray(seeded.tf), np.asarray(base.tf))
+    assert int(seeded.iterations) == int(base.iterations)
+
+    carried = align_jit(MATLAB_PARAMS, x, y, ell0=0.03)
+    fused = align_fused(MATLAB_PARAMS, x, y, ell0=0.03, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused.tf), np.asarray(carried.tf),
+                               atol=2e-5)
+    assert int(fused.iterations) == int(carried.iterations)
+    # the early iterations really ran at the carried ell: the align
+    # differs from the cold start (before the absolute schedule resets
+    # ell at k>2)
+    assert not np.allclose(np.asarray(carried.tf), np.asarray(base.tf),
+                           atol=1e-7) or (
+        int(carried.iterations) != int(base.iterations)
+    )
+
+
 def test_fused_self_registration_identity(rng):
     x, _ = _pair(rng, 3)
     res = align_fused(MATLAB_PARAMS, x, x, interpret=True)
