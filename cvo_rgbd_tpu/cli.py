@@ -32,6 +32,7 @@ def _cmd_run(args):
             output=args.output,
             max_frames=args.max_frames, num_want=args.num_want,
             batch=args.batch, use_native=not args.no_native_io,
+            motion_prior=args.motion_prior,
         )
     else:
         run_odometry(
@@ -60,6 +61,7 @@ def _cmd_multiseq(args):
     run_multiseq(
         args.folders, seq, adaptive=args.adaptive, params=params,
         num_want=args.num_want, max_frames=args.max_frames,
+        warm_start=not args.cold_start,
     )
 
 
@@ -191,6 +193,10 @@ def main(argv=None):
                     help="start every pair from identity at ell_init "
                     "instead of the reference's across-pair R/T/ell "
                     "warm start (cvo.cpp:43-45, 398-399)")
+    pr.add_argument("--motion-prior", action="store_true",
+                    help="with --batch: warm-start each chunk with the "
+                    "previous chunk's last relative transform "
+                    "(constant-velocity approximation)")
     pr.set_defaults(fn=_cmd_run)
 
     pm = sub.add_parser(
@@ -205,6 +211,8 @@ def main(argv=None):
     pm.add_argument("--max-frames", type=int)
     pm.add_argument("--backend", default="xla",
                     choices=["xla", "pallas", "fused"])
+    pm.add_argument("--cold-start", action="store_true",
+                    help="disable the per-lane across-pair warm start")
     pm.set_defaults(fn=_cmd_multiseq)
 
     pb = sub.add_parser("batch", help="pairwise registration over a pcd dir")

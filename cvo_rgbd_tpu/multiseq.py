@@ -32,6 +32,7 @@ def run_multiseq(
     num_want=3000,
     max_frames=None,
     mesh=None,
+    warm_start=True,
     log=print,
 ):
     """Run odometry on several TUM folders in lockstep.
@@ -41,6 +42,12 @@ def run_multiseq(
     no-op pairs and their trajectories stop growing).  `adaptive` picks
     acvo (feature_type 0 frontend + AcvoParams defaults) per pair,
     matching run_odometry.
+
+    `warm_start` (default True): each lane is its own sequence, so the
+    exact reference across-pair warm start (R/T/ell persistence,
+    cvo.cpp:43-45, 398-399 — see odometry.run_odometry) applies per
+    lane; batch iteration count is the max over lanes, so warm lanes
+    finish the lockstep step much earlier.
     """
     from cvo_rgbd_tpu.params import AcvoParams
 
@@ -68,6 +75,12 @@ def run_multiseq(
     t0 = time.time()
     pairs_done = 0
     prev_clouds = None
+    S = len(seqs)
+    # per-lane warm state (identity / ell_init = cold); acvo resets ell
+    # per pair (adaptive_cvo.cpp:475) so its lanes always get ell_init
+    warm_R = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
+    warm_T = np.zeros((S, 3), np.float32)
+    warm_ell = np.full((S,), params.ell_init, np.float32)
     try:
         for step in range(n_steps):
             clouds = []
@@ -76,12 +89,36 @@ def run_multiseq(
                 rgb, dep = load_image_pair(s["folder"], s["entries"][idx])
                 clouds.append(frontend(rgb, dep))
             if prev_clouds is not None:
+                kw = (
+                    dict(R0=warm_R, T0=warm_T, ell0=warm_ell)
+                    if warm_start else {}
+                )
                 res = align_batched(params, _stack(prev_clouds), _stack(clouds),
-                                    mesh=mesh)
+                                    mesh=mesh, **kw)
                 tfs = np.asarray(res.tf)
+                if warm_start:
+                    # a failed lane resets to cold (skip-and-mark, like
+                    # run_odometry), a good lane carries its R/T/ell
+                    ok = np.isfinite(tfs).all(axis=(1, 2))
+                    warm_R = np.where(ok[:, None, None],
+                                      np.asarray(res.R, np.float32),
+                                      np.eye(3, dtype=np.float32))
+                    warm_T = np.where(ok[:, None],
+                                      np.asarray(res.T, np.float32), 0.0)
+                    if not adaptive:
+                        warm_ell = np.where(
+                            ok, np.asarray(res.ell, np.float32),
+                            np.float32(params.ell_init),
+                        )
                 for si, s in enumerate(seqs):
                     if step < len(s["entries"]):
-                        s["accum"] = s["accum"] @ tfs[si]
+                        if np.isfinite(tfs[si]).all():
+                            s["accum"] = s["accum"] @ tfs[si]
+                        else:
+                            # skip-and-mark (rgbddataset_rkhs.m:49-81):
+                            # keep the previous accumulated pose
+                            log(f"{s['folder']} step {step}: non-finite "
+                                "transform, skipping")
                         write_trajectory_line(
                             handles[si], s["entries"][step].name, s["accum"]
                         )

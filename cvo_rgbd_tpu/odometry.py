@@ -277,6 +277,7 @@ def run_odometry_batched(
     num_want=3000,
     batch=8,
     use_native=True,
+    motion_prior=False,
     log=print,
 ):
     """Offline odometry with batched pair registration.
@@ -288,6 +289,15 @@ def run_odometry_batched(
     mesh, sharding pairs over the `dp` axis.  `adaptive` picks acvo
     (feature_type 0, per-pair ell reset — adaptive_cvo.cpp:451,
     476-485) exactly as in `run_odometry`.  Returns list[FrameRecord].
+
+    `motion_prior` (default False): warm-start every lane of chunk k+1
+    with the last finite relative transform of chunk k — a
+    constant-velocity approximation of the reference's exact
+    across-pair warm start (which batched registration cannot
+    reproduce: lane j's true predecessor is lane j-1 of the SAME
+    chunk).  The converged optimum is tolerance-equal; iteration counts
+    drop sharply on smooth sequences.  Off by default so batched output
+    is independent of chunking.
     """
     from cvo_rgbd_tpu.core.cloud import PointCloud
     from cvo_rgbd_tpu.parallel import align_batched
@@ -316,15 +326,35 @@ def run_odometry_batched(
     rels = []
     iters = []
     conv = []
+    prior = None  # (R0 [3,3], T0 [3], ell0 scalar) from the last chunk
     for start in range(0, n_pairs, batch):
         idxs = list(range(start, min(start + batch, n_pairs)))
         pad = idxs + [idxs[-1]] * (batch - len(idxs))  # repeat-pad last chunk
         fb = stack([clouds[i] for i in pad])
         mb = stack([clouds[i + 1] for i in pad])
-        res = align_batched(params, fb, mb)
+        kw = {}
+        if motion_prior and prior is not None:
+            kw = dict(
+                R0=np.broadcast_to(prior[0], (batch, 3, 3)).copy(),
+                T0=np.broadcast_to(prior[1], (batch, 3)).copy(),
+                ell0=np.full((batch,), prior[2], np.float32),
+            )
+        res = align_batched(params, fb, mb, **kw)
         tfs = np.asarray(res.tf)
         its = np.asarray(res.iterations)
         cvg = np.asarray(res.converged)
+        if motion_prior:
+            fin = np.isfinite(tfs).all(axis=(1, 2))
+            if fin.any():
+                last = int(np.max(np.nonzero(fin)[0]))
+                prior = (
+                    np.asarray(res.R, np.float32)[last],
+                    np.asarray(res.T, np.float32)[last],
+                    params.ell_init if adaptive
+                    else float(np.asarray(res.ell)[last]),
+                )
+            else:
+                prior = None
         for k, i in enumerate(idxs):
             rels.append(tfs[k])
             iters.append(int(its[k]))

@@ -443,7 +443,8 @@ def _compiled_align_batched(p):
 
 
 def align_batched(p, fixed_batch: PointCloud, moving_batch: PointCloud,
-                  mesh=None, dp_axis: str = "dp"):
+                  mesh=None, dp_axis: str = "dp",
+                  R0=None, T0=None, ell0=None):
     """vmap align over leading batch axis; shard the batch over `dp`.
 
     Returns a batched AlignResult.  The vmapped while_loop runs until
@@ -451,8 +452,17 @@ def align_batched(p, fixed_batch: PointCloud, moving_batch: PointCloud,
     Compiled once per (params, batch/cloud shape) — rebuilding the
     vmapped closure per call would defeat jit's cache and pay a full
     recompile every invocation.
+
+    `R0` [B,3,3] / `T0` [B,3] / `ell0` [B] warm-start each lane (the
+    reference's across-pair R/T/ell persistence — see
+    core.registration.align); all three must be given together or not
+    at all (one compiled signature each way).
     """
     fn = _compiled_align_batched(p)
+    warm = (R0, T0, ell0)
+    if any(w is not None for w in warm):
+        if any(w is None for w in warm):
+            raise ValueError("pass R0, T0 and ell0 together")
     if mesh is not None:
         sharding = NamedSharding(mesh, P(dp_axis))
         fixed_batch = jax.tree_util.tree_map(
@@ -468,4 +478,6 @@ def align_batched(p, fixed_batch: PointCloud, moving_batch: PointCloud,
             moving_batch,
         )
         del sharding
+    if any(w is not None for w in warm):
+        return fn(fixed_batch, moving_batch, *warm)
     return fn(fixed_batch, moving_batch)
