@@ -58,6 +58,12 @@ class KeyframeSlam:
         self.frame_poses: list[np.ndarray] = []   # per input frame
         self.frame_keyframe: list[int] = []       # owning keyframe id
         self.loop_edges: list[tuple] = []
+        # across-frame warm start (reference R/T/ell persistence, see
+        # odometry.run_odometry): valid only while the keyframe is
+        # unchanged — the previous frame's keyframe-relative transform
+        # is a near-exact prior for the next frame's
+        self._warm = None       # (R0, T0, ell0)
+        self._warm_kf = -1
 
     def process(self, index, cloud):
         """Register one frame; returns its (odometry) world pose."""
@@ -70,10 +76,24 @@ class KeyframeSlam:
             return pose
 
         key = self.keyframes[-1]
-        res = align_jit(self.params, key.cloud, cloud)
+        kf_id = len(self.keyframes) - 1
+        if self._warm is not None and self._warm_kf == kf_id:
+            res = align_jit(self.params, key.cloud, cloud, *self._warm)
+        else:
+            res = align_jit(self.params, key.cloud, cloud)
         rel = np.asarray(res.tf)
         if not np.isfinite(rel).all():
             rel = np.eye(4)  # skip-and-mark
+            self._warm = None
+        else:
+            from cvo_rgbd_tpu.params import AcvoParams
+
+            self._warm = (
+                np.asarray(res.R), np.asarray(res.T),
+                None if isinstance(self.params, AcvoParams)
+                else np.float32(res.ell),
+            )
+            self._warm_kf = kf_id
         pose = key.pose @ rel
         self.frame_poses.append(pose)
         self.frame_keyframe.append(len(self.keyframes) - 1)
