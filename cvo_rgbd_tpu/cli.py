@@ -133,6 +133,95 @@ def _cmd_slam(args):
     print(f"trajectory -> {args.output}")
 
 
+def _seq_key(seq):
+    return int(seq) if seq.isdigit() else seq
+
+
+def _cmd_generate_pointclouds(args):
+    """Batch RGB-D -> cloud-file export (generate_pointcloud.py and
+    util/generate_pointclouds.m:1-47: same assoc manifest walk, depth
+    scale from the per-camera registry, PLY/PCD output)."""
+    import os
+
+    from cvo_rgbd_tpu.frontend.camera import get_camera
+    from cvo_rgbd_tpu.io.export import depth_to_cloud, write_pcd, write_ply
+    from cvo_rgbd_tpu.io.tum import load_assoc
+    from cvo_rgbd_tpu.odometry import load_image_pair
+
+    cam = get_camera(_seq_key(args.seq))
+    entries = load_assoc(os.path.join(args.folder, "assoc.txt"))
+    if args.max_frames:
+        entries = entries[: args.max_frames]
+    os.makedirs(args.out, exist_ok=True)
+    write = write_ply if args.format == "ply" else write_pcd
+    for e in entries:
+        rgb, dep = load_image_pair(args.folder, e)
+        pos, col = depth_to_cloud(rgb, dep, cam, stride=args.stride)
+        write(os.path.join(args.out, f"{e.name}.{args.format}"), pos, col)
+    print(f"{len(entries)} clouds -> {args.out}")
+
+
+def _cmd_registered_cloud(args):
+    """World-frame scene export along a trajectory
+    (generate_registered_pointcloud.py: associate frame timestamps to
+    trajectory poses, backproject, transform, merge)."""
+    import os
+
+    from cvo_rgbd_tpu.evaluation.associate import associate
+    from cvo_rgbd_tpu.frontend.camera import get_camera
+    from cvo_rgbd_tpu.io.export import merge_clouds, write_ply
+    from cvo_rgbd_tpu.io.tum import load_assoc, read_trajectory
+    from cvo_rgbd_tpu.odometry import load_image_pair
+    from cvo_rgbd_tpu.visualize import export_registered_clouds
+
+    cam = get_camera(_seq_key(args.seq))
+    entries = {float(e.name): e for e in
+               load_assoc(os.path.join(args.folder, "assoc.txt"))}
+    traj = read_trajectory(args.trajectory)
+    matches = associate(entries, traj, 0.0, args.max_difference)
+    if args.max_frames:
+        matches = matches[: args.max_frames]
+    frames = []
+    for ft, tt in matches[:: args.frame_stride]:
+        rgb, dep = load_image_pair(args.folder, entries[ft])
+        frames.append((tt, rgb, dep))
+    pos, col = export_registered_clouds(frames, traj, cam, stride=args.stride)
+    if args.downsample > 0:
+        pos, col = merge_clouds([(pos, col)], grid=args.downsample)
+    write_ply(args.output, pos, col)
+    print(f"{pos.shape[0]} points from {len(frames)} frames -> {args.output}")
+
+
+def _cmd_plot_trajectory(args):
+    """Project a trajectory into one frame's image
+    (plot_trajectory_into_image.py analog)."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from cvo_rgbd_tpu.evaluation.associate import associate
+    from cvo_rgbd_tpu.frontend.camera import get_camera
+    from cvo_rgbd_tpu.io.tum import load_assoc, read_trajectory
+    from cvo_rgbd_tpu.odometry import load_image_pair
+    from cvo_rgbd_tpu.visualize import draw_trajectory_into_image
+
+    cam = get_camera(_seq_key(args.seq))
+    entries = {float(e.name): e for e in
+               load_assoc(os.path.join(args.folder, "assoc.txt"))}
+    traj = read_trajectory(args.trajectory)
+    matches = associate(entries, traj, 0.0, args.max_difference)
+    if not matches:
+        raise SystemExit("no frame matches the trajectory timestamps")
+    ft, tt = matches[min(args.frame, len(matches) - 1)]
+    rgb, _ = load_image_pair(args.folder, entries[ft])
+    img = draw_trajectory_into_image(
+        np.asarray(rgb), cam, traj[tt], traj, radius=args.radius
+    )
+    Image.fromarray(img).save(args.output)
+    print(f"frame {entries[ft].name} + {len(traj)} poses -> {args.output}")
+
+
 def _cmd_ate(args):
     from cvo_rgbd_tpu.evaluation import ate_rmse
     from cvo_rgbd_tpu.io.tum import read_trajectory
@@ -237,6 +326,50 @@ def main(argv=None):
     psl.add_argument("--refine", action="store_true",
                      help="bundle-adjust the keyframe map after the pose graph")
     psl.set_defaults(fn=_cmd_slam)
+
+    pg = sub.add_parser(
+        "generate-pointclouds",
+        help="export every assoc.txt frame as a .pcd/.ply cloud",
+    )
+    pg.add_argument("folder")
+    pg.add_argument("seq", help="camera key (intrinsics + depth scale)")
+    pg.add_argument("--out", default="pcd_full")
+    pg.add_argument("--format", default="pcd", choices=["pcd", "ply"])
+    pg.add_argument("--stride", type=int, default=1,
+                    help="pixel subsampling stride")
+    pg.add_argument("--max-frames", type=int)
+    pg.set_defaults(fn=_cmd_generate_pointclouds)
+
+    prc = sub.add_parser(
+        "registered-cloud",
+        help="merge frames along a trajectory into one world-frame PLY",
+    )
+    prc.add_argument("folder")
+    prc.add_argument("seq")
+    prc.add_argument("trajectory", help="TUM-format pose file")
+    prc.add_argument("--output", default="registered.ply")
+    prc.add_argument("--stride", type=int, default=4,
+                     help="pixel subsampling stride per frame")
+    prc.add_argument("--frame-stride", type=int, default=1)
+    prc.add_argument("--max-frames", type=int)
+    prc.add_argument("--downsample", type=float, default=0.0,
+                     help="grid size for a final merge downsample (m)")
+    prc.add_argument("--max-difference", type=float, default=0.02)
+    prc.set_defaults(fn=_cmd_registered_cloud)
+
+    ppt = sub.add_parser(
+        "plot-trajectory",
+        help="project a trajectory into one frame's image (png)",
+    )
+    ppt.add_argument("folder")
+    ppt.add_argument("seq")
+    ppt.add_argument("trajectory")
+    ppt.add_argument("--output", default="trajectory.png")
+    ppt.add_argument("--frame", type=int, default=0,
+                     help="index of the matched frame to draw into")
+    ppt.add_argument("--radius", type=int, default=2)
+    ppt.add_argument("--max-difference", type=float, default=0.02)
+    ppt.set_defaults(fn=_cmd_plot_trajectory)
 
     pa = sub.add_parser("evaluate-ate", help="ATE RMSE of a trajectory")
     pa.add_argument("groundtruth")

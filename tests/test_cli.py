@@ -40,6 +40,72 @@ def test_associate_cli(tmp_path, capsys):
     assert "rgb/1.png" in out[0] and "depth/1.png" in out[0]
 
 
+def test_generate_pointclouds_cli(synth_dataset, tmp_path, capsys):
+    """generate-pointclouds: assoc frames -> per-frame cloud files
+    (generate_pointcloud.py / util/generate_pointclouds.m analog)."""
+    from cvo_rgbd_tpu.io import read_pcd
+
+    out = tmp_path / "pcd_full"
+    cli.main([
+        "generate-pointclouds", str(synth_dataset), "1",
+        "--out", str(out), "--stride", "4", "--max-frames", "2",
+    ])
+    files = sorted(out.glob("*.pcd"))
+    assert len(files) == 2
+    d = read_pcd(str(files[0]))
+    assert d["positions"].shape[0] > 50
+    # synth depth planes are at DEPTHS meters; z must land there
+    assert 0.5 < float(np.median(d["positions"][:, 2])) < 4.0
+    assert d["colors"].max() > 0
+
+
+def test_registered_cloud_cli(synth_dataset, tmp_path, capsys):
+    """registered-cloud: frames + groundtruth trajectory -> one PLY
+    (generate_registered_pointcloud.py analog)."""
+    out = tmp_path / "scene.ply"
+    cli.main([
+        "registered-cloud", str(synth_dataset), "1",
+        str(synth_dataset / "groundtruth.txt"),
+        "--output", str(out), "--stride", "6", "--max-frames", "3",
+        "--downsample", "0.05",
+    ])
+    text = out.read_text().splitlines()
+    n = int(next(l for l in text if l.startswith("element vertex")).split()[-1])
+    assert n > 100
+    assert "end_header" in text
+
+
+def test_plot_trajectory_cli(synth_dataset, tmp_path, capsys):
+    """plot-trajectory: trajectory projected into a frame image."""
+    from PIL import Image
+
+    # poses share the frames' timestamps (so associate matches frame 0)
+    # but trace a path in FRONT of frame 0's camera (+z) so they project
+    # fr1 intrinsics have cx=318.6/cy=255.3 but the synth image is only
+    # 128x96, so pick a bearing (x,y)/z = (-0.5, -0.4) that projects to
+    # u=60, v=48 — inside the small frame
+    traj = tmp_path / "fwd.txt"
+    lines = ["100.000000 0 0 0 0 0 0 1\n"]
+    for i in range(1, 4):
+        z = 1.0 + 0.2 * i
+        lines.append(
+            f"{100.0 + 0.1 * i:.6f} {-0.5 * z:.6f} {-0.4 * z:.6f} "
+            f"{z:.6f} 0 0 0 1\n"
+        )
+    traj.write_text("".join(lines))
+    out = tmp_path / "traj.png"
+    cli.main([
+        "plot-trajectory", str(synth_dataset), "1", str(traj),
+        "--output", str(out), "--frame", "0",
+    ])
+    img = np.asarray(Image.open(out))
+    assert img.ndim == 3 and img.shape[2] == 3
+    # the marker color (255,40,40) must appear: later camera positions are
+    # in front of frame 0 along +x and project into view
+    red = (img[..., 0] == 255) & (img[..., 1] == 40) & (img[..., 2] == 40)
+    assert red.sum() >= 1
+
+
 def test_unknown_command_errors():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate"])
