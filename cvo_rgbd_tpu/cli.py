@@ -150,7 +150,7 @@ def _cmd_generate_pointclouds(args):
 
     cam = get_camera(_seq_key(args.seq))
     entries = load_assoc(os.path.join(args.folder, "assoc.txt"))
-    if args.max_frames:
+    if args.max_frames is not None:
         entries = entries[: args.max_frames]
     os.makedirs(args.out, exist_ok=True)
     write = write_ply if args.format == "ply" else write_pcd
@@ -179,10 +179,15 @@ def _cmd_registered_cloud(args):
                load_assoc(os.path.join(args.folder, "assoc.txt"))}
     traj = read_trajectory(args.trajectory)
     matches = associate(entries, traj, 0.0, args.max_difference)
-    if args.max_frames:
+    if not matches:
+        raise SystemExit("no frame matches the trajectory timestamps")
+    # stride first, THEN the frame cap, so --max-frames K --frame-stride S
+    # exports K frames spaced S apart (not K/S frames)
+    matches = matches[:: args.frame_stride]
+    if args.max_frames is not None:
         matches = matches[: args.max_frames]
     frames = []
-    for ft, tt in matches[:: args.frame_stride]:
+    for ft, tt in matches:
         rgb, dep = load_image_pair(args.folder, entries[ft])
         frames.append((tt, rgb, dep))
     pos, col = export_registered_clouds(frames, traj, cam, stride=args.stride)
@@ -213,6 +218,13 @@ def _cmd_plot_trajectory(args):
     matches = associate(entries, traj, 0.0, args.max_difference)
     if not matches:
         raise SystemExit("no frame matches the trajectory timestamps")
+    if args.frame < 0:
+        raise SystemExit(f"--frame must be >= 0 (got {args.frame})")
+    if args.frame >= len(matches):
+        print(
+            f"--frame {args.frame} out of range; using last matched "
+            f"frame {len(matches) - 1}"
+        )
     ft, tt = matches[min(args.frame, len(matches) - 1)]
     rgb, _ = load_image_pair(args.folder, entries[ft])
     img = draw_trajectory_into_image(

@@ -30,9 +30,12 @@ def grid_downsample(positions, colors=None, grid=0.05):
     Voxel edges start at the cloud's bounding-box min corner, matching
     MATLAB's pcdownsample, which grids the cloud's own bounding box
     rather than absolute space.  Calibrated against the stored MATLAB
-    run (freiburg1_desk_07-May-2019-02-35-00.mat): min-corner binning
-    brings pairwise-transform parity from ~5 mm to ~1.4 mm on the
-    vendored fixture pairs (see tests/test_matlab_parity.py).
+    run (freiburg1_desk_07-May-2019-02-35-00.mat): with origin-anchored
+    binning the vendored fixture pairs drifted ~5+ mm from the stored
+    transforms; min-corner binning lands them at the 2.8-4.3 mm / <=4.2
+    mrad range documented in tests/test_matlab_parity.py and
+    docs/PARITY.md (full-protocol numbers: pcd read -> range filter ->
+    this downsample -> linear-mode align vs read_stored_run).
     """
     positions = np.asarray(positions)
     keys = np.floor((positions - positions.min(axis=0)) / grid).astype(np.int64)
