@@ -8,10 +8,24 @@ module closes loops: given keyframe nodes and relative-pose edges
 
     sum_e  || log( Z_e^{-1} X_i^{-1} X_j ) ||^2_{Omega_e}
 
-by Gauss-Newton with right-multiplicative updates, as one jitted
-program: residuals/Jacobians are batched over edges with vmap, the
-dense 6N x 6N normal equations solve on the MXU, and the iteration
-count is static (`lax.scan`).  Node 0 is gauge-fixed.
+by Gauss-Newton with right-multiplicative updates.  Node 0 is
+gauge-fixed by a large prior.
+
+Two solvers share the same per-edge residual/Jacobian math (batched
+over edges with vmap):
+
+- "dense" — assemble the full 6N x 6N normal equations and solve on
+  the MXU.  Exact; O(N^2) memory — right at tens of keyframes.
+- "pcg" — never form H: keep per-edge 6x6 coupling blocks, accumulate
+  only the N block-diagonal entries, and solve by block-Jacobi
+  preconditioned CG whose matvec scatter/gathers through the edge list
+  (O(E) work/memory — the pose-graph analog of parallel/ba.py's
+  matrix-free Schur solver).  Scales to hundreds/thousands of nodes.
+
+`optimize(..., solver="auto")` picks dense for small graphs, pcg
+otherwise; `mesh=` shards the edge set over a mesh axis (accumulators
+and the per-CG-iteration off-diagonal matvec are psum'd, the direct
+scale-out of the reference's mutex-guarded reductions).
 
 Edge Jacobians use the standard small-residual form
   d r / d xi_i = -Jr^{-1}(r) Ad(X_j^{-1} X_i),   d r / d xi_j = Jr^{-1}(r)
@@ -28,6 +42,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from cvo_rgbd_tpu import se3
+from cvo_rgbd_tpu.core.pcg import pcg
+
+_HI = jax.lax.Precision.HIGHEST
+_GAUGE = 1e6
 
 
 class PoseGraph(NamedTuple):
@@ -85,53 +103,197 @@ def _edge_residual_jac(Xi, Xj, Z):
     return r, Ji, Jj
 
 
-def _gn_step(nodes, edge_i, edge_j, edge_z, edge_w, damping):
-    n = nodes.shape[0]
-    Xi = nodes[edge_i]
-    Xj = nodes[edge_j]
-    r, Ji, Jj = jax.vmap(_edge_residual_jac)(Xi, Xj, edge_z)
-
+def _edge_terms(nodes, edge_i, edge_j, edge_z, edge_w):
+    """Per-edge normal-equation pieces: diagonal contributions
+    Hii/Hjj [E,6,6], the off-diagonal coupling block B = w JiT Jj
+    [E,6,6], gradient pieces bi/bj [E,6], and the cost."""
+    r, Ji, Jj = jax.vmap(_edge_residual_jac)(
+        nodes[edge_i], nodes[edge_j], edge_z
+    )
     w = edge_w[:, None, None]
-    H = jnp.zeros((n, n, 6, 6), jnp.float32)
-    b = jnp.zeros((n, 6), jnp.float32)
+    mm = functools.partial(jnp.matmul, precision=_HI)
     JiT = jnp.swapaxes(Ji, -1, -2)
     JjT = jnp.swapaxes(Jj, -1, -2)
-    H = H.at[edge_i, edge_i].add(w * (JiT @ Ji))
-    H = H.at[edge_j, edge_j].add(w * (JjT @ Jj))
-    H = H.at[edge_i, edge_j].add(w * (JiT @ Jj))
-    H = H.at[edge_j, edge_i].add(w * (JjT @ Ji))
-    b = b.at[edge_i].add((w * (JiT @ r[..., None]))[..., 0])
-    b = b.at[edge_j].add((w * (JjT @ r[..., None]))[..., 0])
+    Hii = w * mm(JiT, Ji)
+    Hjj = w * mm(JjT, Jj)
+    B = w * mm(JiT, Jj)
+    bi = (w * mm(JiT, r[..., None]))[..., 0]
+    bj = (w * mm(JjT, r[..., None]))[..., 0]
+    cost = jnp.sum(edge_w * jnp.sum(r * r, axis=-1))
+    return Hii, Hjj, B, bi, bj, cost
+
+
+def _apply_update(nodes, delta):
+    # right-multiplicative update X <- X exp(delta); pinned fp32 — the
+    # bf16 matmul default biases pose chains at mm level (CLAUDE.md)
+    return jnp.matmul(nodes, se3.exp_se3(delta), precision=_HI)
+
+
+def _gn_step_dense(nodes, edge_i, edge_j, edge_z, edge_w, damping):
+    n = nodes.shape[0]
+    Hii, Hjj, B, bi, bj, cost = _edge_terms(
+        nodes, edge_i, edge_j, edge_z, edge_w
+    )
+    H = jnp.zeros((n, n, 6, 6), jnp.float32)
+    b = jnp.zeros((n, 6), jnp.float32)
+    H = H.at[edge_i, edge_i].add(Hii)
+    H = H.at[edge_j, edge_j].add(Hjj)
+    H = H.at[edge_i, edge_j].add(B)
+    H = H.at[edge_j, edge_i].add(jnp.swapaxes(B, -1, -2))
+    b = b.at[edge_i].add(bi)
+    b = b.at[edge_j].add(bj)
 
     # gauge fix node 0: huge prior on its increment
-    H = H.at[0, 0].add(1e6 * jnp.eye(6))
+    H = H.at[0, 0].add(_GAUGE * jnp.eye(6))
 
     Hd = H.transpose(0, 2, 1, 3).reshape(6 * n, 6 * n)
     Hd = Hd + damping * jnp.eye(6 * n)
     bd = b.reshape(6 * n)
     delta = jnp.linalg.solve(Hd, -bd).reshape(n, 6)
+    return _apply_update(nodes, delta), cost
 
-    # right-multiplicative update X <- X exp(delta); pinned fp32 — the
-    # bf16 matmul default biases pose chains at mm level (CLAUDE.md)
-    dX = se3.exp_se3(delta)
-    new_nodes = jnp.matmul(nodes, dX, precision=jax.lax.Precision.HIGHEST)
-    cost = jnp.sum(edge_w * jnp.sum(r * r, axis=-1))
-    return new_nodes, cost
+
+def _gn_step_pcg(nodes, edge_i, edge_j, edge_z, edge_w, damping, cg_iters,
+                 axis=None):
+    """Sparse GN step: block-diagonal accumulation + edge-block
+    matrix-free PCG.  Under shard_map (`axis` set) the edge arrays hold
+    this device's shard; accumulators and the matvec's off-diagonal
+    scatter are psum'd."""
+    n = nodes.shape[0]
+    mm = functools.partial(jnp.matmul, precision=_HI)
+    Hii, Hjj, B, bi, bj, cost = _edge_terms(
+        nodes, edge_i, edge_j, edge_z, edge_w
+    )
+    Hd = (
+        jnp.zeros((n, 6, 6), jnp.float32)
+        .at[edge_i].add(Hii)
+        .at[edge_j].add(Hjj)
+    )
+    b = jnp.zeros((n, 6), jnp.float32).at[edge_i].add(bi).at[edge_j].add(bj)
+    if axis is not None:
+        Hd, b, cost = jax.lax.psum((Hd, b, cost), axis_name=axis)
+
+    eye6 = jnp.eye(6, dtype=jnp.float32)
+    Hd = Hd.at[0].add(_GAUGE * eye6)           # gauge prior
+    BT = jnp.swapaxes(B, -1, -2)
+
+    def matvec(x):                              # H x, never forming H
+        off = (
+            jnp.zeros_like(x)
+            .at[edge_i].add(mm(B, x[edge_j][..., None])[..., 0])
+            .at[edge_j].add(mm(BT, x[edge_i][..., None])[..., 0])
+        )
+        if axis is not None:
+            off = jax.lax.psum(off, axis_name=axis)
+        return mm(Hd, x[..., None])[..., 0] + damping * x + off
+
+    Minv = jnp.linalg.inv(Hd + damping * eye6)  # block-Jacobi
+
+    def precond(r):
+        return mm(Minv, r[..., None])[..., 0]
+
+    delta = pcg(matvec, precond, -b, cg_iters)
+    return _apply_update(nodes, delta), cost
+
+
+def _run(step, graph, iters):
+    def body(nodes, _):
+        return step(nodes)
+
+    return jax.lax.scan(body, graph.nodes, None, length=iters)
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
-def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6):
-    """Gauss-Newton; returns (optimized nodes [N,4,4], costs [iters])."""
-
-    def body(nodes, _):
-        new_nodes, cost = _gn_step(
+def _optimize_dense(graph: PoseGraph, iters: int, damping: float):
+    return _run(
+        lambda nodes: _gn_step_dense(
             nodes, graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_w,
             damping,
-        )
-        return new_nodes, cost
+        ),
+        graph, iters,
+    )
 
-    nodes, costs = jax.lax.scan(body, graph.nodes, None, length=iters)
-    return nodes, costs
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def _optimize_pcg(graph: PoseGraph, iters: int, damping: float,
+                  cg_iters: int):
+    return _run(
+        lambda nodes: _gn_step_pcg(
+            nodes, graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_w,
+            damping, cg_iters,
+        ),
+        graph, iters,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters):
+    from jax.sharding import PartitionSpec as P
+
+    from cvo_rgbd_tpu.parallel.sharded import shard_map
+
+    def solve(graph):
+        return _run(
+            lambda nodes: _gn_step_pcg(
+                nodes, graph.edge_i, graph.edge_j, graph.edge_z,
+                graph.edge_w, damping, cg_iters, axis=axis,
+            ),
+            graph, iters,
+        )
+
+    es = P(axis)
+    rep = P()
+    return jax.jit(shard_map(
+        solve, mesh,
+        in_specs=(PoseGraph(rep, es, es, es, es),),
+        out_specs=(rep, rep),
+    ))
+
+
+def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
+             solver: str = "auto", cg_iters: int | None = None, mesh=None,
+             axis: str = "sp"):
+    """Gauss-Newton; returns (optimized nodes [N,4,4], costs [iters]).
+
+    solver: "dense" (exact 6Nx6N solve, O(N^2) memory), "pcg"
+    (edge-block matrix-free, O(E)), or "auto" (dense up to 64 nodes).
+    `cg_iters` defaults to 2N: with a block-Jacobi preconditioner CG
+    propagates corrections about one graph hop per iteration, so
+    chain-like graphs need O(N) iterations (each matvec is only O(E)
+    6x6 work — still far below the dense solve).  `mesh` shards the
+    edge set over `axis` (forces pcg); edges are padded with weight-0
+    self-loops to a multiple of the axis size (zero weight contributes
+    nothing anywhere).
+    """
+    n = int(graph.nodes.shape[0])
+    if solver == "auto":
+        solver = "dense" if n <= 64 and mesh is None else "pcg"
+    if cg_iters is None:
+        cg_iters = max(64, 2 * n)
+    if mesh is not None:
+        nsh = mesh.shape[axis]
+        e = int(graph.edge_i.shape[0])
+        if e % nsh:
+            pad = ((e + nsh - 1) // nsh) * nsh - e
+            graph = PoseGraph(
+                nodes=graph.nodes,
+                edge_i=jnp.concatenate(
+                    [graph.edge_i, jnp.zeros(pad, jnp.int32)]),
+                edge_j=jnp.concatenate(
+                    [graph.edge_j, jnp.zeros(pad, jnp.int32)]),
+                edge_z=jnp.concatenate([
+                    graph.edge_z,
+                    jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                     (pad, 4, 4)),
+                ]),
+                edge_w=jnp.concatenate(
+                    [graph.edge_w, jnp.zeros(pad, jnp.float32)]),
+            )
+        return _compiled_pcg_sharded(mesh, axis, iters, damping,
+                                     cg_iters)(graph)
+    if solver == "dense":
+        return _optimize_dense(graph, iters, damping)
+    return _optimize_pcg(graph, iters, damping, cg_iters)
 
 
 def graph_cost(graph: PoseGraph, nodes=None):

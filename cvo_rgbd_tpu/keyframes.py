@@ -11,6 +11,13 @@ measures overlap between a keyframe and the current frame; when it
 drops below `threshold`, the current frame is promoted.  Registering
 every frame against the keyframe (rather than the previous frame)
 removes per-frame drift accumulation between promotions.
+
+Self inner products <f,f> are rigid-invariant per cloud, so they are
+computed once and cached (`self_inner_product`) instead of re-derived
+on every score call; loop-closure search scores one frame against K
+candidate keyframes in a single batched device call
+(`keyframe_scores_batched`, padded to a power-of-two K to bound
+recompiles).
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ import dataclasses
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cvo_rgbd_tpu.core.registration import function_inner_product
@@ -29,13 +37,64 @@ def _compiled_fip(params):
     return jax.jit(functools.partial(function_inner_product, params))
 
 
-def keyframe_score(params, key_cloud, cloud):
-    """Normalized function inner product in [0, ~1]."""
+@functools.lru_cache(maxsize=None)
+def _compiled_fip_batched(params):
+    """fip of ONE cloud against a stacked batch of candidate clouds."""
+
+    def cross(cands, cloud):
+        return jax.vmap(
+            lambda c: function_inner_product(params, c, cloud)
+        )(cands)
+
+    return jax.jit(cross)
+
+
+def self_inner_product(params, cloud):
+    """<f,f> of one cloud — rigid-invariant, cache per keyframe."""
+    return float(_compiled_fip(params)(cloud, cloud))
+
+
+def keyframe_score(params, key_cloud, cloud, key_self=None, cloud_self=None):
+    """Normalized function inner product in [0, ~1].
+
+    `key_self` / `cloud_self` are optional precomputed self inner
+    products (see `self_inner_product`) — passing them skips two of the
+    three Gram evaluations.
+    """
     fip = _compiled_fip(params)
     cross = fip(key_cloud, cloud)
-    aa = fip(key_cloud, key_cloud)
-    bb = fip(cloud, cloud)
+    aa = fip(key_cloud, key_cloud) if key_self is None else key_self
+    bb = fip(cloud, cloud) if cloud_self is None else cloud_self
     return float(cross / np.sqrt(float(aa) * float(bb) + 1e-30))
+
+
+def keyframe_scores_batched(params, cand_clouds, cloud, cand_selfs,
+                            cloud_self):
+    """Score `cloud` against K candidate clouds in one device call.
+
+    cand_clouds: list[PointCloud] (same capacity); cand_selfs: list of
+    their cached self inner products.  Returns np.ndarray [K] of
+    normalized scores.  The batch is padded to the next power of two so
+    the compiled kernel is reused across growing keyframe sets; padded
+    lanes are all-masked clouds (score 0).
+    """
+    from cvo_rgbd_tpu.core.cloud import stack_clouds
+
+    k = len(cand_clouds)
+    if k == 0:
+        return np.zeros((0,), np.float32)
+    pad = 1
+    while pad < k:
+        pad *= 2
+    if pad > k:
+        empty = jax.tree_util.tree_map(jnp.zeros_like, cand_clouds[0])
+        cand_clouds = list(cand_clouds) + [empty] * (pad - k)
+    batch = stack_clouds(cand_clouds)
+    cross = np.asarray(_compiled_fip_batched(params)(batch, cloud))[:k]
+    selfs = np.asarray(cand_selfs, np.float64)
+    return (cross / np.sqrt(selfs * float(cloud_self) + 1e-30)).astype(
+        np.float32
+    )
 
 
 @dataclasses.dataclass
@@ -51,24 +110,37 @@ class KeyframeSelector:
         self.params = params
         self.policy = policy or KeyframePolicy()
         self.key_cloud = None
+        self.key_self = None      # cached <f,f> of the active keyframe
         self.key_index = -1
         self.frames_since = 0
 
-    def update(self, index, cloud):
-        """Returns (is_new_keyframe, score)."""
+    def update(self, index, cloud, cloud_self=None):
+        """Returns (is_new_keyframe, score).
+
+        `cloud_self`: optional precomputed <f,f> of `cloud` (callers
+        that also score `cloud` elsewhere should compute it once and
+        share it).
+        """
+        if cloud_self is None:
+            cloud_self = self_inner_product(self.params, cloud)
         if self.key_cloud is None:
-            self.key_cloud = cloud
-            self.key_index = index
-            self.frames_since = 0
+            self._promote(index, cloud, cloud_self)
             return True, 1.0
-        score = keyframe_score(self.params, self.key_cloud, cloud)
+        score = keyframe_score(
+            self.params, self.key_cloud, cloud,
+            key_self=self.key_self, cloud_self=cloud_self,
+        )
         self.frames_since += 1
         if (
             score < self.policy.threshold
             or self.frames_since >= self.policy.max_span
         ):
-            self.key_cloud = cloud
-            self.key_index = index
-            self.frames_since = 0
+            self._promote(index, cloud, cloud_self)
             return True, score
         return False, score
+
+    def _promote(self, index, cloud, cloud_self):
+        self.key_cloud = cloud
+        self.key_self = cloud_self
+        self.key_index = index
+        self.frames_since = 0

@@ -57,6 +57,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from cvo_rgbd_tpu import se3
+from cvo_rgbd_tpu.core.pcg import pcg as _pcg
 from cvo_rgbd_tpu.parallel.sharded import shard_map
 
 # bf16-default matmuls bias GN updates (CLAUDE.md numerics rules); pin
@@ -222,37 +223,6 @@ def _schur_precond(E, edge_pose, edge_lm, W, H_pp, damping, gauge):
     Sdiag = H_pp - diag + damping * jnp.eye(6, dtype=jnp.float32)
     Sdiag = Sdiag.at[0].add(gauge * jnp.eye(6, dtype=jnp.float32))
     return jnp.linalg.inv(Sdiag)
-
-
-def _pcg(matvec, precond, b, iters):
-    """Fixed-iteration preconditioned CG on the reduced camera system
-    ([K,6] unknowns); converged state freezes (jittable, vmap-safe)."""
-    x = jnp.zeros_like(b)
-    r = b
-    z = precond(r)
-    rz = jnp.sum(r * z)
-    p = z
-    b2 = jnp.maximum(jnp.sum(b * b), 1e-30)
-
-    def body(carry, _):
-        x, r, p, rz = carry
-        done = jnp.sum(r * r) / b2 < 1e-12
-        Ap = matvec(p)
-        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
-        x_new = x + alpha * p
-        r_new = r - alpha * Ap
-        z_new = precond(r_new)
-        rz_new = jnp.sum(r_new * z_new)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p_new = z_new + beta * p
-        out = [
-            jnp.where(done, old, new)
-            for old, new in zip((x, r, p, rz), (x_new, r_new, p_new, rz_new))
-        ]
-        return tuple(out), None
-
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
-    return x
 
 
 def _schur_step(problem, poses, landmarks, acc, damping, cg_iters,

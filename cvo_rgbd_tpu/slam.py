@@ -26,7 +26,12 @@ import numpy as np
 
 from cvo_rgbd_tpu import align_jit
 from cvo_rgbd_tpu.core.posegraph import from_odometry, optimize
-from cvo_rgbd_tpu.keyframes import KeyframePolicy, KeyframeSelector, keyframe_score
+from cvo_rgbd_tpu.keyframes import (
+    KeyframePolicy,
+    KeyframeSelector,
+    keyframe_scores_batched,
+    self_inner_product,
+)
 
 
 @dataclasses.dataclass
@@ -34,6 +39,7 @@ class Keyframe:
     index: int            # frame index in the input sequence
     pose: np.ndarray      # [4,4] world pose (odometry estimate)
     cloud: object         # PointCloud
+    self_fip: float = 1.0  # cached <f,f> (rigid-invariant)
 
 
 @dataclasses.dataclass
@@ -44,6 +50,12 @@ class SlamConfig:
     loop_edge_weight: float = 5.0
     loop_max_correction_m: float = 0.5     # outlier gates on measured
     loop_max_correction_rad: float = 0.5   # vs odometry prior
+    # spatial prior gate: candidates whose odometry-relative pose to the
+    # new keyframe exceeds these bounds are skipped before any kernel
+    # evaluation (odometry drift would have to exceed the bound for a
+    # true loop to be missed)
+    loop_prior_max_m: float = 1.0
+    loop_prior_max_rad: float = 1.0
     optimize_iters: int = 15
 
 
@@ -67,10 +79,15 @@ class KeyframeSlam:
 
     def process(self, index, cloud):
         """Register one frame; returns its (odometry) world pose."""
+        # <f,f> is needed by the selector score every frame and by
+        # loop-closure search for promoted keyframes — compute it once
+        cloud_self = self_inner_product(self.params, cloud)
         if not self.keyframes:
             pose = np.eye(4)
-            self.keyframes.append(Keyframe(index, pose, cloud))
-            self.selector.update(index, cloud)
+            self.keyframes.append(
+                Keyframe(index, pose, cloud, self_fip=cloud_self)
+            )
+            self.selector.update(index, cloud, cloud_self=cloud_self)
             self.frame_poses.append(pose)
             self.frame_keyframe.append(0)
             return pose
@@ -98,9 +115,11 @@ class KeyframeSlam:
         self.frame_poses.append(pose)
         self.frame_keyframe.append(len(self.keyframes) - 1)
 
-        promoted, _ = self.selector.update(index, cloud)
+        promoted, _ = self.selector.update(
+            index, cloud, cloud_self=cloud_self
+        )
         if promoted:
-            kf = Keyframe(index, pose, cloud)
+            kf = Keyframe(index, pose, cloud, self_fip=cloud_self)
             self.keyframes.append(kf)
             self._try_loop_closure(len(self.keyframes) - 1)
         return pose
@@ -108,23 +127,40 @@ class KeyframeSlam:
     def _try_loop_closure(self, kf_id):
         cfg = self.config
         kf = self.keyframes[kf_id]
-        best = None
+        # 1. spatial prior gate — pure host math, no kernel work: by
+        # odometry, keyframes further than the bound cannot overlap
+        cand_ids, priors = [], {}
         for cand_id in range(kf_id - cfg.loop_min_separation):
             cand = self.keyframes[cand_id]
-            score = keyframe_score(self.params, cand.cloud, kf.cloud)
-            if score >= cfg.loop_score_threshold and (
-                best is None or score > best[1]
-            ):
-                best = (cand_id, score)
-        if best is None:
+            prior = np.linalg.inv(cand.pose) @ kf.pose
+            dt = np.linalg.norm(prior[:3, 3])
+            ang = np.arccos(
+                np.clip((np.trace(prior[:3, :3]) - 1) / 2, -1, 1)
+            )
+            if dt <= cfg.loop_prior_max_m and ang <= cfg.loop_prior_max_rad:
+                cand_ids.append(cand_id)
+                priors[cand_id] = prior
+        if not cand_ids:
             return
-        cand_id, score = best
+        # 2. overlap-score ALL surviving candidates in ONE batched
+        # device call, using the cached per-keyframe self products
+        scores = keyframe_scores_batched(
+            self.params,
+            [self.keyframes[c].cloud for c in cand_ids],
+            kf.cloud,
+            [self.keyframes[c].self_fip for c in cand_ids],
+            kf.self_fip,
+        )
+        order = int(np.argmax(scores))
+        if scores[order] < cfg.loop_score_threshold:
+            return
+        cand_id = cand_ids[order]
         cand = self.keyframes[cand_id]
 
         # initialize from the odometry prior: a cold start across a
         # large offset converges to nearby local optima whose error
         # then outweighs good odometry in the graph
-        prior = np.linalg.inv(cand.pose) @ kf.pose
+        prior = priors[cand_id]
         R0 = prior[:3, :3].T.astype(np.float32)
         T0 = (-prior[:3, :3].T @ prior[:3, 3]).astype(np.float32)
         res = align_jit(self.params, cand.cloud, kf.cloud, R0, T0)

@@ -80,3 +80,95 @@ def test_gauge_fixed(rng):
     g = from_odometry(np.stack(poses))
     nodes, _ = optimize(g, iters=5)
     np.testing.assert_allclose(np.asarray(nodes)[0], np.eye(4), atol=1e-4)
+
+
+def _drifted_square_graph():
+    """The loop-closure fixture of test_loop_closure_corrects_drift."""
+    gt = [np.eye(4, dtype=np.float32)]
+    steps = (
+        [_se3([0, 0, 0], [1, 0, 0])] * 2
+        + [_se3([0, 0, np.pi / 2], [1, 0, 0])]
+        + [_se3([0, 0, 0], [1, 0, 0])]
+        + [_se3([0, 0, np.pi / 2], [1, 0, 0])]
+        + [_se3([0, 0, 0], [1, 0, 0])]
+        + [_se3([0, 0, np.pi / 2], [1, 0, 0])]
+        + [_se3([0, 0, 0], [1, 0, 0])]
+    )
+    for s in steps:
+        gt.append(gt[-1] @ s)
+    gt = np.stack(gt)
+    drift = _se3([0, 0, 0.02], [0.03, 0.01, 0])
+    noisy = [gt[0]]
+    for s in steps:
+        noisy.append(noisy[-1] @ s @ drift)
+    z_loop = np.linalg.inv(gt[0]) @ gt[-1]
+    return gt, from_odometry(
+        np.stack(noisy), loop_edges=[(0, len(gt) - 1, z_loop, 10.0)]
+    )
+
+
+def test_pcg_matches_dense(rng):
+    """The sparse edge-block PCG solver agrees with the dense 6Nx6N
+    solve on the same graph (VERDICT r2 item 5)."""
+    _, g = _drifted_square_graph()
+    nodes_d, costs_d = optimize(g, iters=10, solver="dense")
+    nodes_p, costs_p = optimize(g, iters=10, solver="pcg", cg_iters=96)
+    np.testing.assert_allclose(
+        np.asarray(nodes_p), np.asarray(nodes_d), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs_p), np.asarray(costs_d), rtol=1e-3, atol=1e-6
+    )
+
+
+def test_pcg_sharded_matches(rng):
+    """Edge-sharded (shard_map + psum) PCG equals the single-device
+    solution on the 8-device mesh, including weight-0 edge padding."""
+    from cvo_rgbd_tpu.parallel import make_mesh
+
+    _, g = _drifted_square_graph()  # 9 edges -> padded to 16 over sp=8
+    mesh = make_mesh({"sp": 8})
+    nodes_s, costs_s = optimize(g, iters=10, mesh=mesh, cg_iters=96)
+    nodes_p, costs_p = optimize(g, iters=10, solver="pcg", cg_iters=96)
+    np.testing.assert_allclose(
+        np.asarray(nodes_s), np.asarray(nodes_p), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs_s), np.asarray(costs_p), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_large_graph_pcg(rng):
+    """512-node corridor with drifted odometry + 8 ground-truth loop
+    closures: the sparse solver (the dense path would be a 3072x3072
+    solve per iteration) pulls the endpoint error down by >5x."""
+    n = 512
+    gt = [np.eye(4, dtype=np.float32)]
+    steps = []
+    for k in range(n - 1):
+        # snake: forward with a slow turn, so revisits exist
+        steps.append(_se3([0, 0, 0.012], [0.2, 0, 0.01]))
+        gt.append(gt[-1] @ steps[-1])
+    gt = np.stack(gt)
+
+    drift = _se3([0, 0, 8e-4], [2e-3, 5e-4, 0])
+    noisy = [gt[0]]
+    for s in steps:
+        noisy.append(noisy[-1] @ s @ drift)
+    noisy = np.stack(noisy)
+
+    # revisit-style closures: the camera re-observes the start every 64
+    # frames (long-range edges, like a real loopy trajectory)
+    loops = []
+    for j in range(64, n, 64):
+        z = np.linalg.inv(gt[0]) @ gt[j]
+        loops.append((0, j, z, 10.0))
+    g = from_odometry(noisy, loop_edges=loops)
+
+    start_err = np.linalg.norm(noisy[-1][:3, 3] - gt[-1][:3, 3])
+    nodes, costs = optimize(g, iters=8, solver="pcg")
+    nodes = np.asarray(nodes)
+    assert np.isfinite(nodes).all()
+    end_err = np.linalg.norm(nodes[-1][:3, 3] - gt[-1][:3, 3])
+    assert end_err < start_err / 5, (start_err, end_err)
+    assert float(costs[-1]) < 0.2 * float(costs[0])
