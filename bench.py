@@ -15,6 +15,7 @@ vs_baseline is the speedup over the MATLAB CPU mean of 7.954 s/pair.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -45,105 +46,90 @@ def load_clouds():
     return [pad_cloud(p, c, capacity=cap) for p, c in raw]
 
 
-def synth_reference_scale(n_pairs=64, n_points=3000, cap=3072, seed=7):
+def synth_reference_scale(n_pairs=64, n_points=3000, cap=3072, seed=7,
+                          hsv_scale=False):
     """DISTINCT pairs at the reference workload shape (num_want=3000,
-    pcd_generator.cpp:22), perturbation-synthesized from the vendored
-    fixture clouds (disclosed): each pair takes a CONSECUTIVE fixture
-    pair (real frame-to-frame camera motion), re-samples both surfaces
-    independently to n_points with 1.5 mm jitter (sensor-noise scale —
-    the denser num_want=3000 sampling of the same surfaces), and
-    displaces the moving copy by an extra random small SE(3) so every
-    pair is a distinct problem.  Features are the real colors plus two
-    smooth position-dependent gradient channels (5-dim, cvo.cpp
-    feature layout).  Noise scales are set so per-pair iteration counts
-    land in the real workload's range (tens, not the cap — 4 mm jitter
-    previously pushed most pairs into the 200-iteration ceiling because
-    the two samplings' independent noise keeps the flow norms above the
-    C++ tolerances)."""
+    pcd_generator.cpp:22) with EXACT known ground truth, synthesized
+    from the vendored fixture clouds (disclosed):
+
+    - each pair takes a CONSECUTIVE fixture pair (real frame-to-frame
+      camera motion) and samples n_points REAL points from each frame's
+      raw pcd_ds cloud (~16k points) without replacement — no synthetic
+      jitter (round 2 added independent 1.5 mm resampling noise, which
+      put a floor under the flow norms and pushed 59/64 lanes into the
+      iteration cap; real surface points behave like the real
+      workload);
+    - the moving cloud is displaced by a known random small SE(3) `E`,
+      so the true registration is stored_matlab_relpose @ inv(E) (the
+      stored MATLAB transforms agree with our own registration of the
+      same pairs to 2.8-4.3 mm — docs/PARITY.md — and anchor the truth
+      to real camera motion);
+    - features are the real colors plus two smooth position-dependent
+      gradient channels (5-dim, cvo.cpp feature layout); `hsv_scale`
+      normalizes them to [0,1] (the acvo feature_type-0 scale,
+      adaptive_cvo.cpp:451 — its color length-scale c_ell=0.5 expects
+      unit-range features).
+
+    Returns (fixed, moving, truth [n_pairs,4,4])."""
     from cvo_rgbd_tpu import pad_cloud, se3
-    from cvo_rgbd_tpu.io import read_pcd
-    from cvo_rgbd_tpu.utils import grid_downsample, range_filter
+    from cvo_rgbd_tpu.io import read_pcd, read_stored_run
+    from cvo_rgbd_tpu.utils import range_filter
 
     rng = np.random.default_rng(seed)
     raw = []
     for t in STAMPS:
         d = read_pcd(f"{DS}/pcd_ds/{t}.pcd")
         pos, col = range_filter(d["positions"], d["colors"])
-        pos, col = grid_downsample(pos, col, 0.05)
         raw.append((pos, col * 255.0))
 
     def sample(pos, col):
-        idx = rng.integers(0, pos.shape[0], n_points)
-        p = pos[idx] + rng.normal(0, 0.0015, (n_points, 3))
-        c = np.clip(col[idx] + rng.normal(0, 4.0, (n_points, 3)), 0, 255)
+        idx = rng.choice(pos.shape[0], n_points, replace=False)
+        p = pos[idx].astype(np.float32)
+        c = col[idx]
         dx = 30 + 25 * np.sin(4 * p[:, 0] + 2 * p[:, 1])
         dy = 30 + 25 * np.cos(3 * p[:, 2] + 2 * p[:, 0])
         feat = np.concatenate([c, dx[:, None], dy[:, None]], 1)
-        return p.astype(np.float32), feat.astype(np.float32)
+        if hsv_scale:
+            feat = feat / 255.0
+        return p, feat.astype(np.float32)
 
-    fixed, moving = [], []
+    stored = read_stored_run(f"{DS}/freiburg1_desk_07-May-2019-02-35-00.mat")
+    fixed, moving, truth = [], [], []
     for k in range(n_pairs):
-        fpos, fcol = raw[k % (len(raw) - 1)]
-        mpos, mcol = raw[k % (len(raw) - 1) + 1]
-        fp, ff = sample(fpos, fcol)
-        mp, mf = sample(mpos, mcol)
+        pi = k % (len(raw) - 1)
+        fp, ff = sample(*raw[pi])
+        mp, mf = sample(*raw[pi + 1])
         axis = rng.normal(size=3)
         axis *= rng.uniform(0.002, 0.008) / np.linalg.norm(axis)
-        R = np.asarray(se3.exp_so3(axis.astype(np.float32)))
-        t = rng.uniform(-0.008, 0.008, 3).astype(np.float32)
+        R = np.asarray(se3.exp_so3(axis.astype(np.float32)), np.float64)
+        t = rng.uniform(-0.008, 0.008, 3)
         mp = (mp @ R.T + t).astype(np.float32)
+        E = np.eye(4)
+        E[:3, :3] = R
+        E[:3, 3] = t
+        truth.append(stored.pair_transform(pi) @ np.linalg.inv(E))
         fixed.append(pad_cloud(fp, ff, capacity=cap))
         moving.append(pad_cloud(mp, mf, capacity=cap))
-    return fixed, moving
+    return fixed, moving, np.stack(truth)
 
 
-def bench_reference_scale():
-    """Reference-workload benchmark (VERDICT r1 item 3): N=M=3072,
-    64 distinct pairs, single-pass Pallas backend; reports fps,
-    ms/iteration (fixed-iteration slope, RTT-robust) and roofline
-    attainment vs the measured isolated-phase floor (docs/PERF.md)."""
+def _per_iteration_slope(params, fixed, moving, b8=8, lo=10, hi=60):
+    """ms/align-iteration as the slope between two fixed iteration
+    counts (tolerances zeroed so every lane runs exactly max_iter), at
+    the batch-8 methodology of docs/PERF.md."""
     import dataclasses
     import functools
 
     import jax
 
-    from cvo_rgbd_tpu import CvoParams
     from cvo_rgbd_tpu.core.cloud import stack_clouds
     from cvo_rgbd_tpu.core.registration import align
 
-    fixed, moving = synth_reference_scale()
-    fb, mb = stack_clouds(fixed), stack_clouds(moving)
-    n_pairs = len(fixed)
-    # the vmapped while_loop runs every lane until the SLOWEST converges
-    # (the reference's MAX_ITER=2000 cap, cvo.cpp:38, would let one
-    # stubborn lane dominate a 64-pair batch); cap at 200.  At the C++
-    # tolerances (eps=5e-5, eps_2=1e-5 — tighter than MATLAB's) even a
-    # noise-free fixture pair needs ~80 iterations, so 1-2x10^2 per
-    # pair at N=3072 is the workload's real shape, matching the
-    # reference's own 2000-iteration headroom.
-    p = CvoParams(backend="pallas", max_iter=200)
-
-    fn = jax.jit(jax.vmap(functools.partial(align, p)))
-    res = fn(fb, mb)
-    jax.block_until_ready(res.tf)  # compile + warmup
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(fb, mb).tf)
-        times.append(time.perf_counter() - t0)
-    per_pair = float(np.median(times)) / n_pairs
-    iters = np.asarray(res.iterations)
-
-    # per-iteration slope between two fixed iteration counts (every
-    # lane runs exactly max_iter when the tolerances are zeroed), at
-    # the batch-8 methodology of docs/PERF.md
-    b8 = 8
     fb8 = stack_clouds(fixed[:b8])
     mb8 = stack_clouds(moving[:b8])
-    lo, hi = 10, 60
     slope_times = {}
     for it in (lo, hi):
-        pi = dataclasses.replace(p, eps=0.0, eps_2=0.0, max_iter=it)
+        pi = dataclasses.replace(params, eps=0.0, eps_2=0.0, max_iter=it)
         f2 = jax.jit(jax.vmap(functools.partial(align, pi)))
         jax.block_until_ready(f2(fb8, mb8).tf)
         ts = []
@@ -156,49 +142,191 @@ def bench_reference_scale():
         # double the (hi-lo) difference; the fastest run is the one
         # closest to pure device time
         slope_times[it] = float(np.min(ts))
-    per_iter = (slope_times[hi] - slope_times[lo]) / (hi - lo) / b8
-
-    # measured isolated-phase floor at this size: ~110 us (docs/PERF.md
-    # "Isolated phases"); the floor excludes the moment contraction's
-    # MXU work, so attainment is conservative
-    floor_us = 110.0
-    return {
-        "n": 3072,
-        "pairs": n_pairs,
-        "fps": round(1.0 / per_pair, 1),
-        "ms_per_pair": round(per_pair * 1e3, 3),
-        "ms_per_iteration": round(per_iter * 1e3, 4),
-        "mean_iterations": round(float(np.mean(iters)), 1),
-        "converged": int(np.sum(np.asarray(res.converged))),
-        "roofline_floor_us": floor_us,
-        "roofline_attainment_pct": round(100.0 * floor_us / (per_iter * 1e6), 1),
-        "mode": "64 distinct perturbation-synthesized pairs from the "
-        "fixture surfaces (disclosed in synth_reference_scale), "
-        "single-pass Pallas moment backend, batch-64 vmap",
-    }
+    return (slope_times[hi] - slope_times[lo]) / (hi - lo) / b8
 
 
-def bench_warm_lockstep(clouds, lanes=64, rounds=3):
-    """Production multiseq mode: `lanes` sequences advance in lockstep,
-    each lane warm-started with ITS OWN previous pair's converged
-    R/T/ell (the reference's across-pair persistence, cvo.cpp:43-45,
-    398-399 — exactly what multiseq.run_multiseq does).  Lanes here are
-    the 4-step fixture chain replicated; warm pairs converge in ~3-5
-    iterations instead of ~25, so this is the framework's peak
-    registration throughput."""
+def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60):
+    """Measured per-sweep time (us) of the single-pass moment kernel in
+    ISOLATION — the irreducible tile pass of every align iteration
+    (reads every Gram tile once, both kernels + gates + the
+    [TI,TJ]x[TI,128] moment contraction).  This is the roofline floor
+    the per-iteration number is judged against (VERDICT r2 item 4): the
+    remainder is epilogues (O(M) flow/step contractions), the SE(3)
+    update, and while_loop carries.
+
+    Methodology: k sweeps chained through a lax.scan whose carry feeds
+    the next sweep's ell (serialized, not CSE-able), VMAPPED over the
+    SAME batch of 8 pairs as _per_iteration_slope (attainment must
+    compare like with like — a single-pair sweep under-utilizes the
+    chip that the batch-8 measurement saturates); two fixed counts give
+    an RTT-free slope."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvo_rgbd_tpu.core.registration import (
+        build_ck_caches,
+        build_moments_pre,
+    )
+    from cvo_rgbd_tpu.ops import fused_moments
+
+    def prep(f, m):
+        c0, x_c, phi = build_moments_pre(params, f)
+        ck = build_ck_caches(params, False, f, m)
+        ck_xy = ck[0] if ck else None
+        return x_c, f.features, f.mask, m.positions - c0, m.features, \
+            m.mask, phi, ck_xy
+
+    pre = [prep(f, m) for f, m in zip(fixed[:b8], moving[:b8])]
+    batch = tuple(jnp.stack([p[i] for p in pre]) for i in range(8))
+
+    def one(ell0, x_c, xf, xm, y_c, yf, ym, phi, ck_xy, k):
+        def body(ell, _):
+            Mom, nnz = fused_moments(
+                x_c, xf, xm, y_c, yf, ym, phi, ell, ck_xy, p=params,
+            )
+            # feed a kernel output into the next ell: serializes the
+            # scan and keeps every sweep live
+            return ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz, None
+
+        ell, _ = jax.lax.scan(body, ell0, None, length=k)
+        return ell
+
+    times = {}
+    for k in (lo, hi):
+        fn = jax.jit(jax.vmap(functools.partial(one, k=k)))
+        ell0 = jnp.full((b8,), params.ell_init, jnp.float32)
+        jax.block_until_ready(fn(ell0, *batch))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(ell0, *batch))
+            ts.append(time.perf_counter() - t0)
+        times[k] = float(np.min(ts))
+    return (times[hi] - times[lo]) / (hi - lo) / b8 * 1e6
+
+
+def _pose_errors(tfs, truth):
+    """(translation mm [B], rotation mrad [B]) vs the known truth.
+
+    The angle comes from the antisymmetric part of R_est R_truth^T
+    (||skew||/2 = sin(theta)) — well-conditioned for the sub-mrad
+    errors here, where acos(trace) collapses to exactly 0 in fp32."""
+    tfs = np.asarray(tfs, np.float64)
+    terr = np.linalg.norm(tfs[:, :3, 3] - truth[:, :3, 3], axis=1) * 1e3
+    Rd = np.einsum("bij,bkj->bik", tfs[:, :3, :3], truth[:, :3, :3])
+    skew = 0.5 * np.stack([
+        Rd[:, 2, 1] - Rd[:, 1, 2],
+        Rd[:, 0, 2] - Rd[:, 2, 0],
+        Rd[:, 1, 0] - Rd[:, 0, 1],
+    ], axis=1)
+    ang = np.arcsin(np.clip(np.linalg.norm(skew, axis=1), 0.0, 1.0)) * 1e3
+    return terr, ang
+
+
+def bench_reference_scale():
+    """Reference-workload benchmark (VERDICT r2 items 2+3+4): N=M=3072,
+    64 distinct pairs with exact known ground truth, single-pass Pallas
+    backend, BOTH variants (cvo and acvo); reports fps, convergence,
+    pose error vs truth, ms/iteration (fixed-iteration slope,
+    RTT-robust) and roofline attainment vs the MEASURED isolated
+    single-pass-kernel floor.
+
+    Stopping tolerances are the MATLAB set (eps=5e-4, eps_2=1e-4,
+    rkhs_se3_registration.m:18-19), disclosed: at N=3000 the C++ flow
+    threshold of 5e-5 sits below the two-scan noise floor — lanes hit
+    any iteration cap with NO pose improvement beyond ~iteration 40
+    (round-2 bench measured mean 190.2/200 with 5/64 converged and the
+    same mm-level pose error this bench now asserts)."""
+    import functools
+
+    import jax
+
+    from cvo_rgbd_tpu import CvoParams
+    from cvo_rgbd_tpu.core.cloud import stack_clouds
+    from cvo_rgbd_tpu.core.registration import align
+    from cvo_rgbd_tpu.params import AcvoParams
+
+    out = {}
+    for tag, make_params, hsv in (
+        ("cvo", lambda: CvoParams(backend="pallas", max_iter=200,
+                                  eps=5e-4, eps_2=1e-4), False),
+        ("acvo", lambda: AcvoParams(backend="pallas", max_iter=200,
+                                    eps=5e-4, eps_2=1e-4), True),
+    ):
+        fixed, moving, truth = synth_reference_scale(hsv_scale=hsv)
+        fb, mb = stack_clouds(fixed), stack_clouds(moving)
+        n_pairs = len(fixed)
+        p = make_params()
+
+        fn = jax.jit(jax.vmap(functools.partial(align, p)))
+        res = fn(fb, mb)
+        jax.block_until_ready(res.tf)  # compile + warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(fb, mb).tf)
+            times.append(time.perf_counter() - t0)
+        per_pair = float(np.median(times)) / n_pairs
+        iters = np.asarray(res.iterations)
+        terr, rerr = _pose_errors(res.tf, truth)
+        per_iter = _per_iteration_slope(p, fixed, moving)
+
+        block = {
+            "n": 3072,
+            "pairs": n_pairs,
+            "fps": round(1.0 / per_pair, 1),
+            "ms_per_pair": round(per_pair * 1e3, 3),
+            "ms_per_iteration": round(per_iter * 1e3, 4),
+            "mean_iterations": round(float(np.mean(iters)), 1),
+            "max_iterations": int(np.max(iters)),
+            "converged": int(np.sum(np.asarray(res.converged))),
+            "pose_err_vs_truth": {
+                "median_translation_mm": round(float(np.median(terr)), 2),
+                "max_translation_mm": round(float(np.max(terr)), 2),
+                "median_rotation_mrad": round(float(np.median(rerr)), 2),
+                "max_rotation_mrad": round(float(np.max(rerr)), 2),
+            },
+        }
+        if tag == "cvo":
+            floor_us = _isolated_moment_sweep_us(p, fixed, moving)
+            block["roofline_floor_us"] = round(floor_us, 1)
+            block["roofline_attainment_pct"] = round(
+                100.0 * floor_us / (per_iter * 1e6), 1
+            )
+            block["roofline_floor_def"] = (
+                "measured isolated single-pass moment-kernel sweep at "
+                "N=M=3072 (the per-iteration tile pass incl. the moment "
+                "contraction); remainder = O(M) epilogues + SE(3) "
+                "update + loop carries (docs/PERF.md roofline model)"
+            )
+        out[tag] = block
+    out["mode"] = (
+        "64 distinct pairs of real fixture surface points (3000 sampled "
+        "per frame from the raw pcd_ds clouds, consecutive-frame motion "
+        "+ known injected SE(3); truth anchored to the stored MATLAB "
+        "transforms — see synth_reference_scale), MATLAB stopping "
+        "tolerances (disclosed in bench_reference_scale), single-pass "
+        "Pallas moment backend, batch-64 vmap"
+    )
+    return out
+
+
+def _run_lockstep(fbs, mbs, rounds=3):
+    """Time a warm-started lockstep chain over prebuilt per-step lane
+    batches; returns (per_pair_s, max-iterations-per-step)."""
     import dataclasses
     import time as _time
 
     import jax
 
     from cvo_rgbd_tpu import MATLAB_PARAMS
-    from cvo_rgbd_tpu.core.cloud import stack_clouds
     from cvo_rgbd_tpu.parallel import align_batched
 
     FUSED = dataclasses.replace(MATLAB_PARAMS, backend="fused")
-    n_steps = len(clouds) - 1
-    fbs = [stack_clouds([clouds[i]] * lanes) for i in range(n_steps)]
-    mbs = [stack_clouds([clouds[i + 1]] * lanes) for i in range(n_steps)]
+    n_steps = len(fbs)
+    lanes = int(np.asarray(fbs[0].positions).shape[0])
 
     def run_chain():
         # warm state STAYS ON DEVICE and each step dispatches
@@ -224,17 +352,199 @@ def bench_warm_lockstep(clouds, lanes=64, rounds=3):
         ress = run_chain()
         times.append(_time.perf_counter() - t0)
     its = [int(np.max(np.asarray(r.iterations))) for r in ress]
-    total_pairs = lanes * n_steps
-    per_pair = float(np.median(times)) / total_pairs
+    per_pair = float(np.median(times)) / (lanes * n_steps)
+    return per_pair, its
+
+
+def synth_multiseq_lanes(lanes=64, n_points=768, seed=11):
+    """`lanes` DISTINCT 5-frame sequences from the fixture surfaces:
+    each lane samples its own n_points real-point subset of every raw
+    frame cloud (no two lanes share a sampling), so each lane's 4
+    chained pairs are distinct registration problems carrying the real
+    inter-frame camera motion.  MATLAB protocol features (colors,
+    uint8-scaled).  Returns per-step (fixed_batch, moving_batch)."""
+    from cvo_rgbd_tpu import pad_cloud
+    from cvo_rgbd_tpu.core.cloud import stack_clouds
+    from cvo_rgbd_tpu.io import read_pcd
+    from cvo_rgbd_tpu.utils import range_filter
+
+    rng = np.random.default_rng(seed)
+    raw = []
+    for t in STAMPS:
+        d = read_pcd(f"{DS}/pcd_ds/{t}.pcd")
+        pos, col = range_filter(d["positions"], d["colors"])
+        raw.append((pos, col * 255.0))
+
+    # lane l's cloud for frame k: its own subset of frame k's surface
+    lane_clouds = []
+    for _ in range(lanes):
+        frames = []
+        for pos, col in raw:
+            idx = rng.choice(pos.shape[0], n_points, replace=False)
+            frames.append(pad_cloud(
+                pos[idx].astype(np.float32), col[idx].astype(np.float32),
+                capacity=n_points,
+            ))
+        lane_clouds.append(frames)
+
+    n_steps = len(raw) - 1
+    fbs = [stack_clouds([lc[s] for lc in lane_clouds])
+           for s in range(n_steps)]
+    mbs = [stack_clouds([lc[s + 1] for lc in lane_clouds])
+           for s in range(n_steps)]
+    return fbs, mbs
+
+
+def bench_warm_lockstep(clouds, lanes=64, rounds=3):
+    """Production multiseq throughput: `lanes` sequences advance in
+    lockstep, each lane warm-started with ITS OWN previous pair's
+    converged R/T/ell (the reference's across-pair persistence,
+    cvo.cpp:43-45, 398-399 — exactly what multiseq.run_multiseq does).
+
+    Headline = 64 DISTINCT sequences (per-lane fixture-surface
+    subsets, synth_multiseq_lanes — VERDICT r2 item 7); the
+    replicated-fixture-chain variant is kept as a secondary disclosed
+    metric (its lanes are copies, so lockstep convergence is
+    unrealistically uniform)."""
+    from cvo_rgbd_tpu.core.cloud import stack_clouds
+
+    fbs_d, mbs_d = synth_multiseq_lanes(lanes=lanes)
+    per_pair_d, its_d = _run_lockstep(fbs_d, mbs_d, rounds)
+
+    n_steps = len(clouds) - 1
+    fbs_r = [stack_clouds([clouds[i]] * lanes) for i in range(n_steps)]
+    mbs_r = [stack_clouds([clouds[i + 1]] * lanes) for i in range(n_steps)]
+    per_pair_r, its_r = _run_lockstep(fbs_r, mbs_r, rounds)
+
     return {
-        "fps": round(1.0 / per_pair, 1),
-        "ms_per_pair": round(per_pair * 1e3, 3),
+        "fps": round(1.0 / per_pair_d, 1),
+        "ms_per_pair": round(per_pair_d * 1e3, 3),
         "lanes": lanes,
-        "steps": n_steps,
-        "max_iterations_per_step": its,
-        "mode": "lockstep multiseq with per-lane across-pair warm start "
-        "(pair 1 cold, pairs 2..4 warm); lanes replicate the fixture "
-        "chain",
+        "steps": len(fbs_d),
+        "max_iterations_per_step": its_d,
+        "mode": "lockstep multiseq, per-lane across-pair warm start "
+        "(pair 1 cold, pairs 2..4 warm); 64 DISTINCT sequences — one "
+        "fixture-surface subset per lane (synth_multiseq_lanes)",
+        "replicated_chain_secondary": {
+            "fps": round(1.0 / per_pair_r, 1),
+            "ms_per_pair": round(per_pair_r * 1e3, 3),
+            "max_iterations_per_step": its_r,
+            "mode": "lanes replicate the 4-pair fixture chain "
+            "(round-2 headline, kept for comparability)",
+        },
+    }
+
+
+def bench_sequence(n_frames=100):
+    """Sequence-scale driver benchmark (VERDICT r2 item 1): render an
+    exact-ground-truth 100-frame revisit sequence (synth.revisit_path —
+    the same generator as tests/test_longseq.py), run the production
+    odometry drivers end-to-end (frontend -> align -> pose chain ->
+    TUM writer), and report trajectory ATE/RPE + frames/s.
+
+    Sequential mode pays the dev relay's ~25-30 ms RTT once per frame
+    for the align dispatch plus once for the frontend (docs/PERF.md);
+    the batched driver amortizes align dispatches 16 pairs at a time.
+    MATLAB stopping tolerances as in bench_reference_scale."""
+    import shutil
+    import tempfile
+
+    from cvo_rgbd_tpu import CvoParams
+    from cvo_rgbd_tpu.evaluation import ate_rmse
+    from cvo_rgbd_tpu.evaluation.rpe import rpe
+    from cvo_rgbd_tpu.io.tum import read_trajectory
+    from cvo_rgbd_tpu.odometry import run_odometry, run_odometry_batched
+    from cvo_rgbd_tpu.synth import make_tum_dataset, revisit_path
+
+    root = tempfile.mkdtemp(prefix="cvo_seq_bench_")
+    try:
+        make_tum_dataset(root, revisit_path(n_frames, period=33))
+        gt = read_trajectory(os.path.join(root, "groundtruth.txt"))
+        p = CvoParams(eps=5e-4, eps_2=1e-4)
+
+        t0 = time.perf_counter()
+        recs = run_odometry(root, 1, params=p, num_want=1024,
+                            log=lambda *a: None)
+        dt_seq = time.perf_counter() - t0
+        est = read_trajectory(os.path.join(root, "cvo_poses_qt.txt"))
+        stats = ate_rmse(gt, est)
+        r = rpe(gt, est, delta=1.0, delta_unit="s")
+
+        out_b = os.path.join(root, "cvo_batched_qt.txt")
+        t0 = time.perf_counter()
+        run_odometry_batched(root, 1, params=p, num_want=1024, batch=16,
+                             output=out_b, log=lambda *a: None)
+        dt_bat = time.perf_counter() - t0
+        stats_b = ate_rmse(gt, read_trajectory(out_b))
+
+        n_pairs = n_frames - 1
+        return {
+            "frames": n_frames,
+            "ate_rmse_m": round(stats["rmse"], 4),
+            "rpe_trans_rmse_m": round(r["trans_rmse"], 4),
+            "rpe_rot_rmse_rad": round(r["rot_rmse"], 4),
+            "fps_sequential_warm": round(n_pairs / dt_seq, 1),
+            "mean_iterations": round(
+                float(np.mean([x.iterations for x in recs])), 1
+            ),
+            "failed_pairs": int(sum(x.failed for x in recs)),
+            "batched": {
+                "ate_rmse_m": round(stats_b["rmse"], 4),
+                "fps": round(n_pairs / dt_bat, 1),
+                "batch": 16,
+            },
+            "mode": "100-frame ray-traced revisit sequence "
+            "(synth.revisit_path, exact GT), full driver incl. "
+            "host frontend + trajectory IO; MATLAB stopping tolerances",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_scaling():
+    """Mint the scaling-sweep artifact (VERDICT r2 item 10): run
+    scaling_bench.py on the virtual 8-device CPU mesh in a subprocess
+    (the dev environment exposes exactly one real chip — CLAUDE.md) and
+    report the sp / dp x sp sweep with parallel efficiencies.  CPU-mesh
+    numbers validate the collective plumbing and the efficiency SHAPE;
+    absolute per-device speed is the host's, not a TPU's."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SCALING_BENCH_CPU"] = "1"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scaling_bench.py")],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        rows = [json.loads(ln) for ln in out.stdout.splitlines()
+                if ln.startswith("{")]
+    except Exception as e:  # bench must still print its JSON line
+        return {"error": f"scaling sweep failed: {e!r}"}
+    base = next((r for r in rows
+                 if r.get("mode") == "sp_shard" and r["devices"] == 1), None)
+    for r in rows:
+        if r.get("mode") == "sp_shard" and base:
+            # the N virtual devices SHARE one host's cores (flat
+            # resources), so the honest metric is speedup T1/TN, not
+            # the scaled-resource efficiency T1/(N*TN) a real N-chip
+            # slice would report
+            r["speedup_vs_1dev"] = round(
+                base["us_per_iter"] / r["us_per_iter"], 2
+            )
+    return {
+        "host": "virtual 8-device CPU mesh (single-process, devices "
+        "SHARE one host's cores — speedup_vs_1dev is flat-resource "
+        "T1/TN; per-device efficiency on real ICI requires a "
+        "multi-chip slice, unavailable here)",
+        "rows": rows,
     }
 
 
@@ -318,6 +628,8 @@ def main():
     fps = 1.0 / per_pair
     warm_lockstep = bench_warm_lockstep(clouds)
     ref_scale = bench_reference_scale()
+    sequence = bench_sequence()
+    scaling = bench_scaling()
     print(
         json.dumps(
             {
@@ -330,6 +642,8 @@ def main():
                 "fps_multiseq_warm": warm_lockstep["fps"],
                 "warm_lockstep": warm_lockstep,
                 "reference_scale": ref_scale,
+                "sequence": sequence,
+                "scaling": scaling,
                 "pose_err_vs_stored_matlab": {
                     "max_translation_mm": round(max(trans_err_mm), 2),
                     "max_rotation_mrad": round(max(rot_err_mrad), 2),

@@ -38,10 +38,12 @@ def run_multiseq(
     """Run odometry on several TUM folders in lockstep.
 
     Returns {folder: trajectory_path}.  Sequences shorter than the
-    longest simply stop contributing (their last clouds are re-used as
-    no-op pairs and their trajectories stop growing).  `adaptive` picks
-    acvo (feature_type 0 frontend + AcvoParams defaults) per pair,
-    matching run_odometry.
+    longest are RETIRED once they end: their lane is replaced by an
+    all-masked cloud, which converges at iteration 0 — so a finished
+    lane neither gates the lockstep batch's iteration count nor pays
+    frontend/IO work, and its trajectory stops growing.  `adaptive`
+    picks acvo (feature_type 0 frontend + AcvoParams defaults) per
+    pair, matching run_odometry.
 
     `warm_start` (default True): each lane is its own sequence, so the
     exact reference across-pair warm start (R/T/ell persistence,
@@ -75,6 +77,7 @@ def run_multiseq(
     t0 = time.time()
     pairs_done = 0
     prev_clouds = None
+    empty_cloud = None   # all-masked placeholder for finished lanes
     S = len(seqs)
     # per-lane warm state (identity / ell_init = cold); acvo resets ell
     # per pair (adaptive_cvo.cpp:475) so its lanes always get ell_init
@@ -85,9 +88,22 @@ def run_multiseq(
         for step in range(n_steps):
             clouds = []
             for s in seqs:
-                idx = min(step, len(s["entries"]) - 1)
-                rgb, dep = load_image_pair(s["folder"], s["entries"][idx])
-                clouds.append(frontend(rgb, dep))
+                if step < len(s["entries"]):
+                    rgb, dep = load_image_pair(s["folder"], s["entries"][step])
+                    clouds.append(frontend(rgb, dep))
+                else:
+                    # retired lane: an all-masked cloud converges at
+                    # iteration 0 (zero flow), so it neither gates the
+                    # lockstep batch's while_loop trip count nor pays
+                    # frontend/image IO — a 1-frame lane costs nothing
+                    # once its sequence ends (VERDICT r2 item 6)
+                    clouds.append(empty_cloud)
+            if empty_cloud is None:
+                import jax
+
+                empty_cloud = jax.tree_util.tree_map(
+                    np.zeros_like, clouds[0]
+                )
             if prev_clouds is not None:
                 kw = (
                     dict(R0=warm_R, T0=warm_T, ell0=warm_ell)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
@@ -24,12 +25,20 @@ import numpy as np
 def main():
     import jax
 
+    if os.environ.get("SCALING_BENCH_CPU"):
+        # the session sitecustomize registers the tunneled TPU backend
+        # programmatically (the JAX_PLATFORMS env var is ignored —
+        # CLAUDE.md); force the virtual CPU mesh via the config instead
+        jax.config.update("jax_platforms", "cpu")
+
     from cvo_rgbd_tpu import CvoParams, pad_cloud, se3
     from cvo_rgbd_tpu.parallel import align_sharded, make_mesh, train_step_2d
 
     ndev = len(jax.devices())
     rng = np.random.default_rng(0)
-    N = 3072
+    # half the workload on the CPU mesh: the sweep validates collective
+    # plumbing + efficiency shape there, not absolute speed
+    N = 1536 if os.environ.get("SCALING_BENCH_CPU") else 3072
     base = (
         rng.standard_normal((N + 200, 3)) * np.array([0.8, 0.6, 0.5])
         + np.array([0.3, -0.2, 2.5])
@@ -60,6 +69,7 @@ def main():
         med = float(np.median(times))
         rec = {
             "mode": "sp_shard",
+            "n": N,
             "devices": sp,
             "ms_per_pair_30it": round(med * 1e3, 2),
             "us_per_iter": round(med / 30 * 1e6, 1),
