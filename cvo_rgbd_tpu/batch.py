@@ -17,6 +17,7 @@ import time
 import numpy as np
 
 from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit, pad_cloud
+from cvo_rgbd_tpu.odometry import _fetch
 from cvo_rgbd_tpu.core.cloud import round_up
 from cvo_rgbd_tpu.io.pcd import read_pcd
 from cvo_rgbd_tpu.utils import grid_downsample, range_filter
@@ -68,11 +69,12 @@ def run_batch(
         t0 = time.perf_counter()
         try:
             res = align_jit(params, padded[i - 1], padded[i])
-            tf = np.asarray(res.tf)
+            # one transfer: a second fetch costs another relay RTT
+            tf, its = _fetch(res.tf, res.iterations)
             if not np.isfinite(tf).all():
                 raise FloatingPointError("non-finite transform")
             results[i] = tf
-            status = f"iters={int(res.iterations)}"
+            status = f"iters={int(its)}"
         except Exception as e:  # skip-and-mark (rgbddataset_rkhs.m:75-80)
             status = f"FAILED ({e})"
         times[i - 1] = time.perf_counter() - t0

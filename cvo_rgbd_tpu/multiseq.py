@@ -16,7 +16,7 @@ import numpy as np
 
 from cvo_rgbd_tpu.frontend import make_frontend
 from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
-from cvo_rgbd_tpu.odometry import load_image_pair
+from cvo_rgbd_tpu.odometry import _fetch, load_image_pair
 from cvo_rgbd_tpu.params import CvoParams
 from cvo_rgbd_tpu.parallel import align_batched
 
@@ -111,19 +111,23 @@ def run_multiseq(
                 )
                 res = align_batched(params, _stack(prev_clouds), _stack(clouds),
                                     mesh=mesh, **kw)
-                tfs = np.asarray(res.tf)
+                # one device->host transfer per step (separate
+                # np.asarray fetches each cost a relay round-trip)
+                tfs, res_R, res_T, res_ell = _fetch(
+                    res.tf, res.R, res.T, res.ell,
+                )
                 if warm_start:
                     # a failed lane resets to cold (skip-and-mark, like
                     # run_odometry), a good lane carries its R/T/ell
                     ok = np.isfinite(tfs).all(axis=(1, 2))
                     warm_R = np.where(ok[:, None, None],
-                                      np.asarray(res.R, np.float32),
+                                      np.asarray(res_R, np.float32),
                                       np.eye(3, dtype=np.float32))
                     warm_T = np.where(ok[:, None],
-                                      np.asarray(res.T, np.float32), 0.0)
+                                      np.asarray(res_T, np.float32), 0.0)
                     if not adaptive:
                         warm_ell = np.where(
-                            ok, np.asarray(res.ell, np.float32),
+                            ok, np.asarray(res_ell, np.float32),
                             np.float32(params.ell_init),
                         )
                 for si, s in enumerate(seqs):

@@ -29,6 +29,16 @@ from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
 from cvo_rgbd_tpu.params import AcvoParams, CvoParams
 
 
+def _fetch(*arrays):
+    """Fetch device values in ONE transfer.  Separate np.asarray calls
+    on align results each pay a full dispatch round-trip (~25-30 ms on
+    the dev relay); jax.device_get on the tuple issues the copies
+    together and waits once."""
+    import jax
+
+    return jax.device_get(arrays)
+
+
 @dataclasses.dataclass
 class FrameRecord:
     index: int
@@ -214,7 +224,14 @@ def run_odometry(
                 continue
 
             res = align_jit(params, fixed_cloud, cloud, *warm)
-            tf = np.asarray(res.tf)
+            # ONE device->host transfer for everything the host needs:
+            # each separate np.asarray(res.X) costs its own dispatch
+            # round-trip (~25-30 ms over the dev relay, docs/PERF.md) —
+            # five of them used to dominate the per-frame time
+            tf, res_R, res_T, res_ell, res_it, res_cv = _fetch(
+                res.tf, res.R, res.T, res.ell, res.iterations,
+                res.converged,
+            )
             failed = not bool(np.isfinite(tf).all())
             if failed:
                 # skip-and-mark (rgbddataset_rkhs.m:49-81): keep previous
@@ -227,9 +244,9 @@ def run_odometry(
                     # persist R/T (both variants) and ell (cvo only —
                     # acvo resets it per pair, adaptive_cvo.cpp:475)
                     warm = (
-                        np.asarray(res.R),
-                        np.asarray(res.T),
-                        None if adaptive else np.float32(res.ell),
+                        np.asarray(res_R, np.float32),
+                        np.asarray(res_T, np.float32),
+                        None if adaptive else np.float32(res_ell),
                     )
             fixed_cloud = cloud
 
@@ -237,8 +254,8 @@ def run_odometry(
             rec = FrameRecord(
                 index=i,
                 name=entries[i].name,
-                iterations=int(res.iterations),
-                converged=bool(res.converged),
+                iterations=int(res_it),
+                converged=bool(res_cv),
                 failed=failed,
                 seconds=dt,
             )
@@ -326,8 +343,10 @@ def run_odometry_batched(
     rels = []
     iters = []
     conv = []
+    pair_secs = []  # per-pair wall share of each device chunk
     prior = None  # (R0 [3,3], T0 [3], ell0 scalar) from the last chunk
     for start in range(0, n_pairs, batch):
+        chunk_t0 = time.time()
         idxs = list(range(start, min(start + batch, n_pairs)))
         pad = idxs + [idxs[-1]] * (batch - len(idxs))  # repeat-pad last chunk
         fb = stack([clouds[i] for i in pad])
@@ -340,25 +359,27 @@ def run_odometry_batched(
                 ell0=np.full((batch,), prior[2], np.float32),
             )
         res = align_batched(params, fb, mb, **kw)
-        tfs = np.asarray(res.tf)
-        its = np.asarray(res.iterations)
-        cvg = np.asarray(res.converged)
+        tfs, its, cvg, res_R, res_T, res_ell = _fetch(
+            res.tf, res.iterations, res.converged, res.R, res.T, res.ell,
+        )
         if motion_prior:
             fin = np.isfinite(tfs).all(axis=(1, 2))
             if fin.any():
                 last = int(np.max(np.nonzero(fin)[0]))
                 prior = (
-                    np.asarray(res.R, np.float32)[last],
-                    np.asarray(res.T, np.float32)[last],
+                    np.asarray(res_R, np.float32)[last],
+                    np.asarray(res_T, np.float32)[last],
                     params.ell_init if adaptive
-                    else float(np.asarray(res.ell)[last]),
+                    else float(res_ell[last]),
                 )
             else:
                 prior = None
+        chunk_dt = time.time() - chunk_t0
         for k, i in enumerate(idxs):
             rels.append(tfs[k])
             iters.append(int(its[k]))
             conv.append(bool(cvg[k]))
+            pair_secs.append(chunk_dt / len(idxs))
         log(f"pairs {idxs[0]}..{idxs[-1]} registered")
 
     records = []
@@ -373,7 +394,7 @@ def run_odometry_batched(
             records.append(FrameRecord(
                 index=i + 1, name=entries[i + 1].name,
                 iterations=iters[i], converged=conv[i],
-                failed=failed, seconds=0.0,
+                failed=failed, seconds=pair_secs[i],
             ))
     total = time.time() - total_t0
     log(f"{n_pairs} pairs in {total:.1f}s ({n_pairs / total:.2f} pairs/s, "

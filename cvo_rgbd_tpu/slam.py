@@ -25,6 +25,7 @@ import dataclasses
 import numpy as np
 
 from cvo_rgbd_tpu import align_jit
+from cvo_rgbd_tpu.odometry import _fetch
 from cvo_rgbd_tpu.core.posegraph import from_odometry, optimize
 from cvo_rgbd_tpu.keyframes import (
     KeyframePolicy,
@@ -98,7 +99,8 @@ class KeyframeSlam:
             res = align_jit(self.params, key.cloud, cloud, *self._warm)
         else:
             res = align_jit(self.params, key.cloud, cloud)
-        rel = np.asarray(res.tf)
+        # one device->host transfer (each separate fetch is a relay RTT)
+        rel, res_R, res_T, res_ell = _fetch(res.tf, res.R, res.T, res.ell)
         if not np.isfinite(rel).all():
             rel = np.eye(4)  # skip-and-mark
             self._warm = None
@@ -106,9 +108,9 @@ class KeyframeSlam:
             from cvo_rgbd_tpu.params import AcvoParams
 
             self._warm = (
-                np.asarray(res.R), np.asarray(res.T),
+                np.asarray(res_R, np.float32), np.asarray(res_T, np.float32),
                 None if isinstance(self.params, AcvoParams)
-                else np.float32(res.ell),
+                else np.float32(res_ell),
             )
             self._warm_kf = kf_id
         pose = key.pose @ rel
@@ -164,8 +166,8 @@ class KeyframeSlam:
         R0 = prior[:3, :3].T.astype(np.float32)
         T0 = (-prior[:3, :3].T @ prior[:3, 3]).astype(np.float32)
         res = align_jit(self.params, cand.cloud, kf.cloud, R0, T0)
-        rel = np.asarray(res.tf)
-        if not (np.isfinite(rel).all() and bool(res.converged)):
+        rel, res_cv = _fetch(res.tf, res.converged)
+        if not (np.isfinite(rel).all() and bool(res_cv)):
             return
         # outlier gate: the measured relative pose must be within a
         # plausible correction of the prior
