@@ -49,6 +49,36 @@ def _compiled_fip_batched(params):
     return jax.jit(cross)
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_aligned_fip(params):
+    """fip of cloud_a against cloud_b TRANSFORMED by each of K
+    candidate SE(3)s — the post-align quality of K registrations of the
+    same pair in one device call."""
+
+    def fip_at(ca, cb, tfs):
+        def one(tf):
+            pos = cb.positions @ tf[:3, :3].T + tf[:3, 3]
+            return function_inner_product(
+                params, ca, cb._replace(positions=pos)
+            )
+
+        return jax.vmap(one)(tfs)
+
+    return jax.jit(fip_at)
+
+
+def aligned_fip(params, cloud_a, cloud_b, tfs):
+    """Inner product of `cloud_a` vs `cloud_b` moved by each transform.
+
+    `tfs`: [K,4,4] array or sequence of [4,4] (stacked on device — pass
+    align results' .tf directly to keep the dispatch pipeline async).
+    Returns a device array [K]; the registration flow maximizes exactly
+    this quantity, so it ranks competing registrations of one pair."""
+    if isinstance(tfs, (list, tuple)):
+        tfs = jnp.stack(tfs)
+    return _compiled_aligned_fip(params)(cloud_a, cloud_b, tfs)
+
+
 def self_inner_product(params, cloud):
     """<f,f> of one cloud — rigid-invariant, cache per keyframe."""
     return float(_compiled_fip(params)(cloud, cloud))

@@ -30,6 +30,7 @@ from cvo_rgbd_tpu.core.posegraph import from_odometry, optimize
 from cvo_rgbd_tpu.keyframes import (
     KeyframePolicy,
     KeyframeSelector,
+    aligned_fip,
     keyframe_scores_batched,
     self_inner_product,
 )
@@ -159,16 +160,35 @@ class KeyframeSlam:
         cand_id = cand_ids[order]
         cand = self.keyframes[cand_id]
 
-        # initialize from the odometry prior: a cold start across a
-        # large offset converges to nearby local optima whose error
-        # then outweighs good odometry in the graph
+        # register from BOTH the odometry prior and a cold (identity)
+        # start, and keep whichever lands at the higher post-align RKHS
+        # inner product.  Neither init wins universally: a cold start
+        # across a large true offset converges to nearby local optima
+        # (round-2 calibration), while a DRIFTED prior strands the
+        # align in a local optimum at the drift scale even when the
+        # revisit is near-exact (573-frame study, docs/PERF.md — a
+        # 135 mm-off prior converged 118 mm off where the cold start
+        # was exact).  The inner product the flow maximizes is the
+        # natural arbiter and costs one extra batched Gram.
         prior = priors[cand_id]
         R0 = prior[:3, :3].T.astype(np.float32)
         T0 = (-prior[:3, :3].T @ prior[:3, 3]).astype(np.float32)
-        res = align_jit(self.params, cand.cloud, kf.cloud, R0, T0)
-        rel, res_cv = _fetch(res.tf, res.converged)
-        if not (np.isfinite(rel).all() and bool(res_cv)):
+        res_p = align_jit(self.params, cand.cloud, kf.cloud, R0, T0)
+        res_c = align_jit(self.params, cand.cloud, kf.cloud)
+        quals = aligned_fip(
+            self.params, cand.cloud, kf.cloud, (res_p.tf, res_c.tf),
+        )
+        rel_p, cv_p, rel_c, cv_c, quals = _fetch(
+            res_p.tf, res_p.converged, res_c.tf, res_c.converged, quals,
+        )
+        cands = [
+            (float(q), np.asarray(r, np.float64))
+            for q, r, cv in ((quals[0], rel_p, cv_p), (quals[1], rel_c, cv_c))
+            if bool(cv) and np.isfinite(r).all()
+        ]
+        if not cands:
             return
+        rel = max(cands, key=lambda t: t[0])[1]
         # outlier gate: the measured relative pose must be within a
         # plausible correction of the prior
         delta = np.linalg.inv(prior) @ rel

@@ -67,3 +67,30 @@ def test_function_inner_product_ell_argument(rng):
     assert default == at_init
     assert wide != default
     assert np.isfinite(wide)
+
+
+def test_aligned_fip_ranks_true_transform(rng):
+    """aligned_fip scores a pair under K candidate SE(3)s in one call;
+    the TRUE registration must outrank drift-scale offsets (this is the
+    arbiter slam loop closure uses to choose between prior-init and
+    cold-init registrations — docs/PERF.md round-3 study)."""
+    from cvo_rgbd_tpu import se3
+    from cvo_rgbd_tpu.keyframes import aligned_fip
+
+    base = np.random.default_rng(11)
+    c0 = _cloud(base, n=120)
+    R = np.asarray(se3.exp_so3(np.array([0.02, -0.01, 0.015], np.float32)))
+    t = np.array([0.03, -0.02, 0.01], np.float32)
+    # moving cloud = fixed cloud displaced by inv(true_tf)
+    pos1 = ((np.asarray(c0.positions) - t) @ R).astype(np.float32)
+    c1 = c0._replace(positions=pos1)
+    true_tf = np.eye(4, dtype=np.float32)
+    true_tf[:3, :3] = R
+    true_tf[:3, 3] = t
+    off = true_tf.copy()
+    off[:3, 3] += [0.1, 0.0, 0.0]      # 10 cm drift-scale offset
+    far = np.eye(4, dtype=np.float32)  # identity (un-registered)
+    quals = np.asarray(aligned_fip(P, c0, c1, [true_tf, off, far]))
+    assert quals.shape == (3,)
+    assert quals[0] > quals[1], quals
+    assert quals[0] > quals[2], quals
