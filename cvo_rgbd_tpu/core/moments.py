@@ -13,9 +13,9 @@ reduction of the reference iteration is then an O(M) epilogue:
   squared-distance sum (adaptive_cvo.cpp:222-271) are contractions of
   the degree<=2 moments with the (current) moving points;
 - the quartic line-search coefficients B..E (cvo.cpp:213-289) contract
-  the full moment matrix with the per-j coefficient stack of
-  step_factored.line_search_coeff_stack — the only omega-dependent
-  part, and it never touches an [N, M] object.
+  the full moment matrix with the line-search polynomials of
+  step_factored.line_search_polys — the only omega-dependent part, and
+  it never touches an [N, M] object.
 
 This removes the second Gram sweep per align iteration: the reference
 traverses nnz(A) once for the flow and once for the step coefficients
@@ -29,8 +29,7 @@ import jax.numpy as jnp
 
 from cvo_rgbd_tpu.core.step_factored import (
     M_INDEX,
-    NUM_MONO,
-    line_search_coeff_stack,
+    line_search_polys,
     monomial_features,
 )
 
@@ -89,12 +88,27 @@ def flow_from_moments(Mom, y_pos, c0, *, c, d):
 
 def step_from_moments(Mom, y_pos, c0, omega, v, ell):
     """B, C, D, E (cvo.cpp:249-289) by contracting the moment matrix
-    with the per-j line-search coefficient stack — O(M*140), no [N,M]
-    intermediates, no second Gram sweep."""
-    C_all = line_search_coeff_stack(y_pos, y_pos - c0, omega, v, ell)
-    m = C_all.shape[0]
-    out = jnp.sum(
-        C_all.reshape(m, 4, NUM_MONO) * Mom[:, None, :NUM_MONO],
-        axis=(0, 2),
+    directly against the line-search polynomials in their sparse
+    monomial-dict form — no [M,140] coefficient stack, no matmuls.
+
+    The previous form built the dense per-j coefficient stack (seven
+    [M,140]x[140,35] HIGHEST-precision matmuls + ~27 MB of [M,140]
+    intermediates per iteration at M=3072) and then contracted it
+    against Mom.  But the contraction sum_j sum_e c_e[j] Mom[j,e] never
+    needs the dense stack: each polynomial is ~15-35 monomial terms
+    whose [M]-vector coefficients come straight out of the Poly product
+    engine, so the whole epilogue is a fused elementwise chain over [M]
+    vectors plus one reduction per polynomial.  Algebraically identical;
+    measured ~2x cheaper epilogue at reference scale (docs/PERF.md)."""
+    P_B, P_C, P_D, P_E = line_search_polys(
+        y_pos, y_pos - c0, omega, v, ell
     )
-    return out[0], out[1], out[2], out[3]
+
+    def contract(P):
+        acc = None
+        for e, c in P.terms.items():
+            t = c * Mom[:, M_INDEX[e]]
+            acc = t if acc is None else acc + t
+        return jnp.sum(acc)
+
+    return contract(P_B), contract(P_C), contract(P_D), contract(P_E)

@@ -176,10 +176,10 @@ def _mul_affine(P, Q4):
                    preferred_element_type=jnp.float32, precision=_HI)
 
 
-def line_search_coeff_stack(y_field, y_pair, omega, v, ell):
-    """[M, 140] per-j monomial coefficients of the four line-search
-    polynomials P_B..P_E (cvo.cpp:249-289) in the *centered* fixed-point
-    coordinate x'.
+def affine_forms(y_field, y_pair, omega, v, ell):
+    """Per-j affine coefficients (a [M], b [M,3]) of the four line-search
+    integrand factors beta/gamma/delta/epsilon (cvo.cpp:262-271), as
+    functions of the fixed point x:  factor_ij = a_j + b_j . x_i.
 
     `y_field`: ORIGINAL (uncentered) moving points — the derivative
     fields xi^k z are built from them (cvo.cpp:226-238).
@@ -206,7 +206,6 @@ def line_search_coeff_stack(y_field, y_pair, omega, v, ell):
     )
 
     tc = 1.0 / (2.0 * ell * ell)
-    # affine forms in x (see cvo.cpp:262-271), as compact [M,4] vectors
     b_a = 2.0 * tc * jnp.sum(xiz * y_pair, -1)
     b_b = -2.0 * tc * xiz
     g_a = -tc * normxiz2 + 2.0 * tc * jnp.sum(xi2z * y_pair, -1)
@@ -215,6 +214,43 @@ def line_search_coeff_stack(y_field, y_pair, omega, v, ell):
     d_b = -2.0 * tc * xi3z
     e_a = -tc * eps_const + 2.0 * tc * jnp.sum(xi4z * y_pair, -1)
     e_b = -2.0 * tc * xi4z
+    return (b_a, b_b), (g_a, g_b), (d_a, d_b), (e_a, e_b)
+
+
+def line_search_polys(y_field, y_pair, omega, v, ell):
+    """The four line-search polynomials P_B..P_E (cvo.cpp:249-289) as
+    `Poly` objects over the centered fixed-point coordinate x', with
+    [M]-vector coefficients.  Shared by the dense-stack form below and
+    the moment-contraction epilogue (core/moments.py)."""
+    (b_a, b_b), (g_a, g_b), (d_a, d_b), (e_a, e_b) = affine_forms(
+        y_field, y_pair, omega, v, ell
+    )
+    beta = Poly.affine(b_a, b_b)
+    gamma = Poly.affine(g_a, g_b)
+    delta = Poly.affine(d_a, d_b)
+    epsil = Poly.affine(e_a, e_b)
+    beta2 = beta * beta
+    P_B = beta
+    P_C = gamma + 0.5 * beta2
+    P_D = delta + beta * gamma + (1.0 / 6.0) * (beta2 * beta)
+    P_E = (
+        epsil
+        + beta * delta
+        + 0.5 * (beta2 * gamma)
+        + 0.5 * (gamma * gamma)
+        + (1.0 / 24.0) * (beta2 * beta2)
+    )
+    return P_B, P_C, P_D, P_E
+
+
+def line_search_coeff_stack(y_field, y_pair, omega, v, ell):
+    """[M, 140] per-j monomial coefficients of the four line-search
+    polynomials P_B..P_E (cvo.cpp:249-289) in the *centered* fixed-point
+    coordinate x'.
+    """
+    (b_a, b_b), (g_a, g_b), (d_a, d_b), (e_a, e_b) = affine_forms(
+        y_field, y_pair, omega, v, ell
+    )
 
     beta4 = _affine4(b_a, b_b)
     beta = _dense_affine(b_a, b_b)
