@@ -145,7 +145,8 @@ def _per_iteration_slope(params, fixed, moving, b8=8, lo=10, hi=60):
     return (slope_times[hi] - slope_times[lo]) / (hi - lo) / b8
 
 
-def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60):
+def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60,
+                              adaptive=False):
     """Measured per-sweep time (us) of the single-pass moment kernel in
     ISOLATION — the irreducible tile pass of every align iteration
     (reads every Gram tile once, both kernels + gates + the
@@ -153,6 +154,10 @@ def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60):
     the per-iteration number is judged against (VERDICT r2 item 4): the
     remainder is epilogues (O(M) flow/step contractions), the SE(3)
     update, and while_loop carries.
+
+    `adaptive` adds the two lean symmetric self-kernel wsq sweeps the
+    acvo iteration also pays (adaptive_cvo.cpp:156-160 — Axx/Ayy feed
+    only the dl reduction), making the floor the acvo tile-pass total.
 
     Methodology: k sweeps chained through a lax.scan whose carry feeds
     the next sweep's ell (serialized, not CSE-able), VMAPPED over the
@@ -169,26 +174,40 @@ def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60):
         build_ck_caches,
         build_moments_pre,
     )
-    from cvo_rgbd_tpu.ops import fused_moments
+    from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
 
     def prep(f, m):
         c0, x_c, phi = build_moments_pre(params, f)
-        ck = build_ck_caches(params, False, f, m)
-        ck_xy = ck[0] if ck else None
-        return x_c, f.features, f.mask, m.positions - c0, m.features, \
-            m.mask, phi, ck_xy
+        ck = build_ck_caches(params, adaptive, f, m)
+        ck_xy, ck_xx, ck_yy = ck if ck else (None, None, None)
+        return (x_c, f.features, f.mask, m.positions - c0, m.features,
+                m.mask, phi, ck_xy) + (
+                    (f.positions, m.positions, ck_xx, ck_yy)
+                    if adaptive else ()
+                )
 
     pre = [prep(f, m) for f, m in zip(fixed[:b8], moving[:b8])]
-    batch = tuple(jnp.stack([p[i] for p in pre]) for i in range(8))
+    nargs = len(pre[0])
+    batch = tuple(jnp.stack([p[i] for p in pre]) for i in range(nargs))
 
-    def one(ell0, x_c, xf, xm, y_c, yf, ym, phi, ck_xy, k):
+    def one(ell0, *args, k):
+        (x_c, xf, xm, y_c, yf, ym, phi, ck_xy), rest = args[:8], args[8:]
+
         def body(ell, _):
             Mom, nnz = fused_moments(
                 x_c, xf, xm, y_c, yf, ym, phi, ell, ck_xy, p=params,
             )
             # feed a kernel output into the next ell: serializes the
             # scan and keeps every sweep live
-            return ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz, None
+            out = ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz
+            if adaptive:
+                x_pos, y_pos, ck_xx, ck_yy = rest
+                wxx, nxx = fused_wsq(x_pos, xf, xm, x_pos, xf, xm, ell,
+                                     ck_xx, p=params, symmetric=True)
+                wyy, nyy = fused_wsq(y_pos, yf, ym, y_pos, yf, ym, ell,
+                                     ck_yy, p=params, symmetric=True)
+                out = out + 1e-12 * (wxx + wyy + nxx + nyy)
+            return out, None
 
         ell, _ = jax.lax.scan(body, ell0, None, length=k)
         return ell
@@ -289,18 +308,21 @@ def bench_reference_scale():
                 "max_rotation_mrad": round(float(np.max(rerr)), 2),
             },
         }
-        if tag == "cvo":
-            floor_us = _isolated_moment_sweep_us(p, fixed, moving)
-            block["roofline_floor_us"] = round(floor_us, 1)
-            block["roofline_attainment_pct"] = round(
-                100.0 * floor_us / (per_iter * 1e6), 1
-            )
-            block["roofline_floor_def"] = (
-                "measured isolated single-pass moment-kernel sweep at "
-                "N=M=3072 (the per-iteration tile pass incl. the moment "
-                "contraction); remainder = O(M) epilogues + SE(3) "
-                "update + loop carries (docs/PERF.md roofline model)"
-            )
+        floor_us = _isolated_moment_sweep_us(
+            p, fixed, moving, adaptive=(tag == "acvo")
+        )
+        block["roofline_floor_us"] = round(floor_us, 1)
+        block["roofline_attainment_pct"] = round(
+            100.0 * floor_us / (per_iter * 1e6), 1
+        )
+        block["roofline_floor_def"] = (
+            "measured isolated tile-pass floor at N=M=3072: the "
+            "single-pass moment sweep"
+            + (" + the two symmetric self-kernel wsq sweeps"
+               if tag == "acvo" else "")
+            + "; remainder = O(M) epilogues + SE(3) update + loop "
+            "carries (docs/PERF.md roofline model)"
+        )
         out[tag] = block
     out["mode"] = (
         "64 distinct pairs of real fixture surface points (3000 sampled "

@@ -23,12 +23,12 @@ def main():
     ):
         fixed, moving, _ = bench.synth_reference_scale(hsv_scale=hsv)
         per_iter = bench._per_iteration_slope(p, fixed, moving)
-        line = f"{tag}: {per_iter * 1e3:.4f} ms/iter"
-        if tag == "cvo":
-            floor = bench._isolated_moment_sweep_us(p, fixed, moving)
-            line += (f"  floor {floor:.1f} us  "
-                     f"attainment {100 * floor / (per_iter * 1e6):.1f}%")
-        print(line, flush=True)
+        floor = bench._isolated_moment_sweep_us(
+            p, fixed, moving, adaptive=(tag == "acvo")
+        )
+        print(f"{tag}: {per_iter * 1e3:.4f} ms/iter  floor {floor:.1f} us"
+              f"  attainment {100 * floor / (per_iter * 1e6):.1f}%",
+              flush=True)
 
 
 if __name__ == "__main__":
