@@ -14,7 +14,8 @@ import sys
 
 
 def _cmd_run(args):
-    from cvo_rgbd_tpu.odometry import run_odometry
+    import contextlib
+
     from cvo_rgbd_tpu.params import AcvoParams, CvoParams
 
     seq = int(args.seq) if args.seq.isdigit() else args.seq
@@ -22,6 +23,20 @@ def _cmd_run(args):
     if args.backend != "xla":
         cls = AcvoParams if args.adaptive else CvoParams
         params = cls(backend=args.backend)
+    trace = contextlib.nullcontext()
+    if args.profile_dir:
+        # device-level tracing (SURVEY.md section 5): view the captured
+        # trace with tensorboard/xprof pointed at --profile-dir
+        from cvo_rgbd_tpu.utils.timing import profiler_trace
+
+        trace = profiler_trace(args.profile_dir)
+    with trace:
+        _run_odometry_cmd(args, seq, params)
+
+
+def _run_odometry_cmd(args, seq, params):
+    from cvo_rgbd_tpu.odometry import run_odometry
+
     if args.batch > 1:
         if args.checkpoint:
             raise SystemExit("--batch does not support checkpointing")
@@ -294,6 +309,9 @@ def main(argv=None):
                     help="start every pair from identity at ell_init "
                     "instead of the reference's across-pair R/T/ell "
                     "warm start (cvo.cpp:43-45, 398-399)")
+    pr.add_argument("--profile-dir",
+                    help="capture a jax.profiler device trace of the run "
+                    "into this directory (view with tensorboard/xprof)")
     pr.add_argument("--motion-prior", action="store_true",
                     help="with --batch: warm-start each chunk with the "
                     "previous chunk's last relative transform "

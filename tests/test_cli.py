@@ -111,6 +111,19 @@ def test_unknown_command_errors():
         cli.main(["frobnicate"])
 
 
+def test_run_profile_dir(synth_dataset, tmp_path, capsys):
+    """run --profile-dir captures a jax.profiler trace of the drive."""
+    prof = tmp_path / "trace"
+    cli.main([
+        "run", str(synth_dataset), "1", "--num-want", str(NUM_WANT),
+        "--max-frames", "2", "--profile-dir", str(prof),
+        "--output", str(tmp_path / "poses.txt"),
+    ])
+    assert (tmp_path / "poses.txt").exists()
+    # the profiler writes plugins/profile/<ts>/*.xplane.pb under logdir
+    assert any(prof.rglob("*.xplane.pb")), list(prof.rglob("*"))
+
+
 def test_multiseq_cli(synth_dataset, capsys):
     """multiseq subcommand: lockstep batched odometry over folders."""
     cli.main([
