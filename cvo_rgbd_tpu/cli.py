@@ -61,6 +61,7 @@ def _run_odometry_cmd(args, seq, params):
             num_want=args.num_want,
             use_native=not args.no_native_io,
             warm_start=not args.cold_start,
+            fetch_every=args.fetch_every,
         )
 
 
@@ -312,6 +313,12 @@ def main(argv=None):
     pr.add_argument("--profile-dir",
                     help="capture a jax.profiler device trace of the run "
                     "into this directory (view with tensorboard/xprof)")
+    pr.add_argument("--fetch-every", type=int, default=8,
+                    help="frames between device->host result flushes in "
+                    "the sequential driver (trajectory output is "
+                    "identical for any value; larger amortizes the "
+                    "per-fetch dispatch round-trip, a crash loses up to "
+                    "N-1 frames of checkpoint progress)")
     pr.add_argument("--motion-prior", action="store_true",
                     help="with --batch: warm-start each chunk with the "
                     "previous chunk's last relative transform "

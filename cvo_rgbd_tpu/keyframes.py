@@ -84,6 +84,16 @@ def self_inner_product(params, cloud):
     return float(_compiled_fip(params)(cloud, cloud))
 
 
+def inner_product_async(params, cloud_a, cloud_b):
+    """<f_a, f_b> as a DEVICE scalar (no blocking fetch).
+
+    Callers that need several per-frame quantities (align result, self
+    product, cross score) should dispatch them all and fetch together —
+    each separate blocking fetch costs a dispatch round-trip (~25-30 ms
+    on the dev relay, docs/PERF.md)."""
+    return _compiled_fip(params)(cloud_a, cloud_b)
+
+
 def keyframe_score(params, key_cloud, cloud, key_self=None, cloud_self=None):
     """Normalized function inner product in [0, ~1].
 
@@ -160,6 +170,18 @@ class KeyframeSelector:
             self.params, self.key_cloud, cloud,
             key_self=self.key_self, cloud_self=cloud_self,
         )
+        return self.update_scored(index, cloud, cloud_self, score)
+
+    def update_scored(self, index, cloud, cloud_self, score):
+        """`update` with the normalized overlap score already in hand.
+
+        For callers that batch their per-frame device fetches (slam):
+        they dispatch the cross inner product (`inner_product_async`)
+        alongside the align and fetch everything in one transfer, then
+        apply the promotion policy here without further device work.
+        Must not be called for the very first frame (no active
+        keyframe).
+        """
         self.frames_since += 1
         if (
             score < self.policy.threshold

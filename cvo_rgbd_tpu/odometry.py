@@ -17,13 +17,13 @@ Improvements over the reference (SURVEY.md section 5):
 from __future__ import annotations
 
 import dataclasses
+import functools as _ft
 import json
 import os
 import time
 
 import numpy as np
 
-from cvo_rgbd_tpu import align_jit
 from cvo_rgbd_tpu.frontend import make_frontend
 from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
 from cvo_rgbd_tpu.params import AcvoParams, CvoParams
@@ -37,6 +37,45 @@ def _fetch(*arrays):
     import jax
 
     return jax.device_get(arrays)
+
+
+@_ft.lru_cache(maxsize=None)
+def _compiled_odom_step(params, adaptive: bool):
+    """Jitted align + on-device warm-start bookkeeping for one pair.
+
+    The sequential odometry chain needs NOTHING from the device between
+    pairs: the across-pair warm state (the reference's persistent
+    R/T/ell members, cvo.cpp:43-45, 398-399) feeds straight from one
+    align into the next, and the skip-and-mark failure reset
+    (rgbddataset_rkhs.m:49-81 semantics) is a `where` on a finiteness
+    flag.  Folding both into the jitted step lets the driver dispatch
+    frame i+1 without waiting for frame i's result — the per-frame
+    device->host round-trip (~25-30 ms over the dev relay, docs/PERF.md)
+    moves out of the loop entirely and is amortized over `fetch_every`
+    frames.  Host-side pose chaining (fp64 accum @ tf) happens at flush
+    time from the fetched tf's, bit-identical to the eager path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cvo_rgbd_tpu import align
+
+    ell_init = np.float32(params.ell_init)
+
+    def step(fixed, moving, R0, T0, ell0):
+        res = align(params, fixed, moving, R0, T0, ell0)
+        finite = jnp.isfinite(res.tf).all()
+        # failure resets the warm state to cold (identity / ell_init)
+        Rw = jnp.where(finite, res.R, jnp.eye(3, dtype=jnp.float32))
+        Tw = jnp.where(finite, res.T, jnp.zeros(3, jnp.float32))
+        if adaptive:
+            # acvo resets ell per pair (adaptive_cvo.cpp:475)
+            ellw = jnp.full((), ell_init)
+        else:
+            ellw = jnp.where(finite, res.ell, ell_init)
+        return res.tf, res.iterations, res.converged, finite, Rw, Tw, ellw
+
+    return jax.jit(step)
 
 
 @dataclasses.dataclass
@@ -152,6 +191,7 @@ def run_odometry(
     num_want=3000,
     use_native=True,
     warm_start=True,
+    fetch_every=8,
     log=print,
 ):
     """Run the full odometry loop.  Returns list[FrameRecord].
@@ -169,6 +209,18 @@ def run_odometry(
     cvo.cpp:408-410), while acvo resets ell per pair
     (adaptive_cvo.cpp:475).  False starts every pair from identity at
     ell_init.  A skipped (non-finite) pair resets the warm state.
+
+    `fetch_every`: frames between device->host result flushes.  The
+    warm-start chain and failure reset run ON DEVICE (see
+    `_compiled_odom_step`), so the host never has to wait for a pair
+    before dispatching the next one; results are fetched in batches of
+    `fetch_every`, amortizing the per-fetch dispatch round-trip
+    (~25-30 ms on the dev relay — it used to bound the sequential
+    driver at ~34 fps, docs/PERF.md).  Trajectory lines, FrameRecords,
+    logs, and checkpoint saves happen at each flush; the values written
+    are bit-identical to `fetch_every=1` (pose chaining stays on the
+    host in fp64 from the fetched per-pair transforms).  A crash loses
+    at most `fetch_every-1` frames of checkpoint progress.
     """
     params = params or (AcvoParams() if adaptive else CvoParams())
     feature_type = 0 if adaptive else 1
@@ -191,12 +243,12 @@ def run_odometry(
 
     records: list[FrameRecord] = []
     fixed_cloud = None
-    # (R0, T0, ell0) for the next pair; explicit cold values keep the
-    # warm and cold paths on ONE compiled align signature
+    step_fn = _compiled_odom_step(params, adaptive)
+    # device-resident (R0, T0, ell0) for the next pair; explicit cold
+    # values keep warm and cold on ONE compiled signature
     cold = (
-        (np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
-         None if adaptive else np.float32(params.ell_init))
-        if warm_start else (None, None, None)
+        np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+        np.float32(params.ell_init),
     )
     warm = cold
     if warm_start and state.warm_R is not None:
@@ -204,15 +256,61 @@ def run_odometry(
         warm = (
             np.asarray(state.warm_R, np.float32),
             np.asarray(state.warm_T, np.float32),
-            None if adaptive else np.float32(state.warm_ell),
+            np.float32(params.ell_init if (adaptive or state.warm_ell is None)
+                       else state.warm_ell),
         )
     start = max(state.frame_index - 1, 0)
     total_t0 = time.time()
 
+    # deferred results: (frame_index, name, (tf, iters, conv, finite))
+    pending: list[tuple] = []
+    chunk_t0 = time.time()
+
     frames = make_frame_source(folder, entries, start, use_native=use_native)
     with open(output, mode) as traj:
+
+        def flush():
+            nonlocal chunk_t0
+            if not pending:
+                return
+            import jax
+
+            # ONE device->host transfer for the whole chunk (each
+            # separate fetch pays its own ~25-30 ms relay round-trip)
+            fetched, (wR, wT, well) = jax.device_get(
+                ([p[2] for p in pending], warm)
+            )
+            per = (time.time() - chunk_t0) / len(pending)
+            for (i, name, _), (tf, it, cv, fin) in zip(pending, fetched):
+                failed = not bool(fin)
+                if failed:
+                    # skip-and-mark (rgbddataset_rkhs.m:49-81): keep the
+                    # previous accum (warm reset already happened on
+                    # device inside the step)
+                    log(f"frame {i}: non-finite transform, skipping")
+                else:
+                    state.accum = state.accum @ tf
+                records.append(FrameRecord(
+                    index=i, name=name, iterations=int(it),
+                    converged=bool(cv), failed=failed, seconds=per,
+                ))
+                write_trajectory_line(traj, name, state.accum)
+                state.frame_index = i + 1
+                log(
+                    f"frame {i}/{len(entries)}: iters={int(it)} "
+                    f"conv={bool(cv)} t={per*1000:.1f}ms"
+                )
+            traj.flush()
+            if checkpoint:
+                if warm_start:
+                    state.warm_R = np.asarray(wR, np.float32)
+                    state.warm_T = np.asarray(wT, np.float32)
+                    state.warm_ell = None if adaptive else float(well)
+                state.save(checkpoint)
+            pending.clear()
+            chunk_t0 = time.time()
+
         for i, rgb, dep in frames:
-            t0 = time.time()
             cloud = frontend(rgb, dep)
 
             if fixed_cloud is None:
@@ -223,56 +321,17 @@ def run_odometry(
                     state.frame_index = i + 1
                 continue
 
-            res = align_jit(params, fixed_cloud, cloud, *warm)
-            # ONE device->host transfer for everything the host needs:
-            # each separate np.asarray(res.X) costs its own dispatch
-            # round-trip (~25-30 ms over the dev relay, docs/PERF.md) —
-            # five of them used to dominate the per-frame time
-            tf, res_R, res_T, res_ell, res_it, res_cv = _fetch(
-                res.tf, res.R, res.T, res.ell, res.iterations,
-                res.converged,
-            )
-            failed = not bool(np.isfinite(tf).all())
-            if failed:
-                # skip-and-mark (rgbddataset_rkhs.m:49-81): keep previous
-                # accum, use the new frame as the next fixed cloud
-                log(f"frame {i}: non-finite transform, skipping")
-                warm = cold
-            else:
-                state.accum = state.accum @ tf
-                if warm_start:
-                    # persist R/T (both variants) and ell (cvo only —
-                    # acvo resets it per pair, adaptive_cvo.cpp:475)
-                    warm = (
-                        np.asarray(res_R, np.float32),
-                        np.asarray(res_T, np.float32),
-                        None if adaptive else np.float32(res_ell),
-                    )
+            out = step_fn(fixed_cloud, cloud, *warm)
+            if warm_start:
+                # across-pair R/T (+ ell for cvo) persistence, with
+                # on-device failure reset — stays on device so the next
+                # dispatch never waits on this one's result
+                warm = (out[4], out[5], out[6])
+            pending.append((i, entries[i].name, out[:4]))
             fixed_cloud = cloud
-
-            dt = time.time() - t0
-            rec = FrameRecord(
-                index=i,
-                name=entries[i].name,
-                iterations=int(res_it),
-                converged=bool(res_cv),
-                failed=failed,
-                seconds=dt,
-            )
-            records.append(rec)
-            write_trajectory_line(traj, entries[i].name, state.accum)
-            traj.flush()
-            state.frame_index = i + 1
-            if checkpoint:
-                state.warm_R, state.warm_T = warm[0], warm[1]
-                state.warm_ell = (
-                    None if warm[2] is None else float(warm[2])
-                )
-                state.save(checkpoint)
-            log(
-                f"frame {i}/{len(entries)}: iters={rec.iterations} "
-                f"conv={rec.converged} t={dt*1000:.1f}ms"
-            )
+            if len(pending) >= fetch_every:
+                flush()
+        flush()
 
     total = time.time() - total_t0
     n = len(records)

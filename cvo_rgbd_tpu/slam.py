@@ -31,8 +31,8 @@ from cvo_rgbd_tpu.keyframes import (
     KeyframePolicy,
     KeyframeSelector,
     aligned_fip,
+    inner_product_async,
     keyframe_scores_batched,
-    self_inner_product,
 )
 
 
@@ -82,10 +82,12 @@ class KeyframeSlam:
     def process(self, index, cloud):
         """Register one frame; returns its (odometry) world pose."""
         # <f,f> is needed by the selector score every frame and by
-        # loop-closure search for promoted keyframes — compute it once
-        cloud_self = self_inner_product(self.params, cloud)
+        # loop-closure search for promoted keyframes — dispatch it (no
+        # blocking fetch yet) so it rides the same transfer as the align
+        cloud_self_d = inner_product_async(self.params, cloud, cloud)
         if not self.keyframes:
             pose = np.eye(4)
+            cloud_self = float(cloud_self_d)
             self.keyframes.append(
                 Keyframe(index, pose, cloud, self_fip=cloud_self)
             )
@@ -100,8 +102,15 @@ class KeyframeSlam:
             res = align_jit(self.params, key.cloud, cloud, *self._warm)
         else:
             res = align_jit(self.params, key.cloud, cloud)
-        # one device->host transfer (each separate fetch is a relay RTT)
-        rel, res_R, res_T, res_ell = _fetch(res.tf, res.R, res.T, res.ell)
+        # the selector's overlap score needs <f_key, f_cloud>; dispatch
+        # it too, then ONE device->host transfer for the whole frame
+        # (this loop used to pay three separate ~25-30 ms relay RTTs
+        # per frame: self fip, align fetch, score fip — docs/PERF.md)
+        cross_d = inner_product_async(self.params, key.cloud, cloud)
+        rel, res_R, res_T, res_ell, cloud_self, cross = _fetch(
+            res.tf, res.R, res.T, res.ell, cloud_self_d, cross_d,
+        )
+        cloud_self = float(cloud_self)
         if not np.isfinite(rel).all():
             rel = np.eye(4)  # skip-and-mark
             self._warm = None
@@ -118,8 +127,11 @@ class KeyframeSlam:
         self.frame_poses.append(pose)
         self.frame_keyframe.append(len(self.keyframes) - 1)
 
-        promoted, _ = self.selector.update(
-            index, cloud, cloud_self=cloud_self
+        score = float(
+            cross / np.sqrt(float(key.self_fip) * cloud_self + 1e-30)
+        )
+        promoted, _ = self.selector.update_scored(
+            index, cloud, cloud_self, score
         )
         if promoted:
             kf = Keyframe(index, pose, cloud, self_fip=cloud_self)

@@ -211,3 +211,25 @@ def test_odometry_batched_adaptive_matches_sequential(synth_dataset, tmp_path):
     assert set(seq) == set(bat)
     for t in seq:
         np.testing.assert_allclose(bat[t], seq[t], atol=5e-3)
+
+
+def test_odometry_fetch_cadence_invariant(synth_dataset, tmp_path):
+    """fetch_every only changes WHEN results cross device->host, never
+    the values: the warm chain and failure reset run on device and the
+    fp64 pose chaining happens on the host from the same per-pair
+    transforms (odometry._compiled_odom_step).  Trajectories and
+    iteration counts must be bit-identical across cadences."""
+    outs = {}
+    iters = {}
+    for fe in (1, 3):
+        out = tmp_path / f"fe{fe}.txt"
+        recs = run_odometry(
+            str(synth_dataset), 1, num_want=NUM_WANT, output=str(out),
+            fetch_every=fe, log=lambda *a: None,
+        )
+        outs[fe] = read_trajectory(out)
+        iters[fe] = [r.iterations for r in recs]
+    assert iters[1] == iters[3]
+    assert set(outs[1]) == set(outs[3])
+    for t in outs[1]:
+        np.testing.assert_array_equal(outs[1][t], outs[3][t])
