@@ -41,12 +41,23 @@ def round_up(n: int, m: int = LANE) -> int:
 def stack_clouds(clouds, repeat: int = 1) -> PointCloud:
     """Stack equal-capacity PointClouds into a leading batch axis
     (optionally tiling the list `repeat` times) — the input format of
-    `parallel.align_batched`."""
+    `parallel.align_batched`.
+
+    Device-resident clouds stay on device (`jnp.stack` dispatches
+    asynchronously): forcing them through `np.asarray` would pay a
+    BLOCKING device->host transfer per field per cloud — ~90 ms/pair of
+    pure relay round-trips in the batched odometry driver before this
+    was caught (docs/PERF.md).  All-host inputs still produce host
+    arrays (cheap to build, uploaded once at dispatch)."""
     clouds = list(clouds) * repeat
-    return PointCloud(
-        *(np.stack([np.asarray(getattr(c, f)) for c in clouds])
-          for f in PointCloud._fields)
-    )
+    fields = []
+    for f in PointCloud._fields:
+        vals = [getattr(c, f) for c in clouds]
+        if all(isinstance(v, np.ndarray) for v in vals):
+            fields.append(np.stack(vals))
+        else:
+            fields.append(jnp.stack([jnp.asarray(v) for v in vals]))
+    return PointCloud(*fields)
 
 
 def pad_cloud(

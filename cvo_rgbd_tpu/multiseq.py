@@ -9,6 +9,7 @@ section 2.6 "Batch DP").
 
 from __future__ import annotations
 
+import functools as _ft
 import os
 import time
 
@@ -16,12 +17,35 @@ import numpy as np
 
 from cvo_rgbd_tpu.frontend import make_frontend
 from cvo_rgbd_tpu.io.tum import load_assoc, write_trajectory_line
-from cvo_rgbd_tpu.odometry import _fetch, load_image_pair
+from cvo_rgbd_tpu.odometry import load_image_pair
 from cvo_rgbd_tpu.params import CvoParams
 from cvo_rgbd_tpu.parallel import align_batched
 
 
 from cvo_rgbd_tpu.core.cloud import stack_clouds as _stack
+
+
+@_ft.lru_cache(maxsize=None)
+def _compiled_lane_post(adaptive: bool, ell_init: float):
+    """Jitted per-lane warm-state update: a failed lane resets to cold
+    (skip-and-mark, like run_odometry), a good lane carries its R/T/ell
+    (acvo resets ell per pair, adaptive_cvo.cpp:475).  Runs ON DEVICE
+    so the lockstep chain never waits for a step's result before
+    dispatching the next one (see odometry._compiled_odom_step)."""
+    import jax
+    import jax.numpy as jnp
+
+    def post(tf, R, T, ell):
+        ok = jnp.isfinite(tf).all(axis=(1, 2))
+        Rw = jnp.where(ok[:, None, None], R, jnp.eye(3, dtype=jnp.float32))
+        Tw = jnp.where(ok[:, None], T, jnp.zeros((), jnp.float32))
+        if adaptive:
+            ellw = jnp.full_like(ell, ell_init)
+        else:
+            ellw = jnp.where(ok, ell, jnp.float32(ell_init))
+        return ok, Rw, Tw, ellw
+
+    return jax.jit(post)
 
 
 def run_multiseq(
@@ -33,6 +57,7 @@ def run_multiseq(
     max_frames=None,
     mesh=None,
     warm_start=True,
+    fetch_every=4,
     log=print,
 ):
     """Run odometry on several TUM folders in lockstep.
@@ -50,6 +75,12 @@ def run_multiseq(
     cvo.cpp:43-45, 398-399 — see odometry.run_odometry) applies per
     lane; batch iteration count is the max over lanes, so warm lanes
     finish the lockstep step much earlier.
+
+    `fetch_every`: lockstep steps between device->host result flushes.
+    The per-lane warm chain runs on device (`_compiled_lane_post`), so
+    step k+1 dispatches without waiting for step k's fetch; pose
+    chaining and trajectory writes happen at each flush, value-identical
+    to `fetch_every=1` (same per-pair transforms, host fp64 chaining).
     """
     from cvo_rgbd_tpu.params import AcvoParams
 
@@ -84,6 +115,33 @@ def run_multiseq(
     warm_R = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
     warm_T = np.zeros((S, 3), np.float32)
     warm_ell = np.full((S,), params.ell_init, np.float32)
+    post = _compiled_lane_post(adaptive, float(params.ell_init))
+    pending = []   # (step, tfs_device, ok_device) awaiting one fetch
+
+    def flush():
+        nonlocal pairs_done
+        if not pending:
+            return
+        import jax
+
+        # ONE device->host transfer for the whole chunk of steps
+        fetched = jax.device_get([(p[1], p[2]) for p in pending])
+        for (step, _, _), (tfs, ok) in zip(pending, fetched):
+            for si, s in enumerate(seqs):
+                if step < len(s["entries"]):
+                    if ok[si]:
+                        s["accum"] = s["accum"] @ tfs[si]
+                    else:
+                        # skip-and-mark (rgbddataset_rkhs.m:49-81):
+                        # keep the previous accumulated pose
+                        log(f"{s['folder']} step {step}: non-finite "
+                            "transform, skipping")
+                    write_trajectory_line(
+                        handles[si], s["entries"][step].name, s["accum"]
+                    )
+                    pairs_done += 1
+        pending.clear()
+
     try:
         for step in range(n_steps):
             clouds = []
@@ -111,38 +169,17 @@ def run_multiseq(
                 )
                 res = align_batched(params, _stack(prev_clouds), _stack(clouds),
                                     mesh=mesh, **kw)
-                # one device->host transfer per step (separate
-                # np.asarray fetches each cost a relay round-trip)
-                tfs, res_R, res_T, res_ell = _fetch(
-                    res.tf, res.R, res.T, res.ell,
-                )
+                # warm chain stays ON DEVICE; results are fetched in
+                # batches of `fetch_every` steps so the dispatch
+                # pipeline never stalls on the relay round-trip
+                ok_d, Rw, Tw, ellw = post(res.tf, res.R, res.T, res.ell)
                 if warm_start:
-                    # a failed lane resets to cold (skip-and-mark, like
-                    # run_odometry), a good lane carries its R/T/ell
-                    ok = np.isfinite(tfs).all(axis=(1, 2))
-                    warm_R = np.where(ok[:, None, None],
-                                      np.asarray(res_R, np.float32),
-                                      np.eye(3, dtype=np.float32))
-                    warm_T = np.where(ok[:, None],
-                                      np.asarray(res_T, np.float32), 0.0)
+                    warm_R, warm_T = Rw, Tw
                     if not adaptive:
-                        warm_ell = np.where(
-                            ok, np.asarray(res_ell, np.float32),
-                            np.float32(params.ell_init),
-                        )
-                for si, s in enumerate(seqs):
-                    if step < len(s["entries"]):
-                        if np.isfinite(tfs[si]).all():
-                            s["accum"] = s["accum"] @ tfs[si]
-                        else:
-                            # skip-and-mark (rgbddataset_rkhs.m:49-81):
-                            # keep the previous accumulated pose
-                            log(f"{s['folder']} step {step}: non-finite "
-                                "transform, skipping")
-                        write_trajectory_line(
-                            handles[si], s["entries"][step].name, s["accum"]
-                        )
-                        pairs_done += 1
+                        warm_ell = ellw
+                pending.append((step, res.tf, ok_d))
+                if len(pending) >= fetch_every:
+                    flush()
             else:
                 for si, s in enumerate(seqs):
                     write_trajectory_line(
@@ -151,6 +188,7 @@ def run_multiseq(
             prev_clouds = clouds
             if step % 10 == 0:
                 log(f"step {step}/{n_steps}")
+        flush()
     finally:
         for h in handles:
             h.close()

@@ -402,8 +402,37 @@ def run_odometry_batched(
     rels = []
     iters = []
     conv = []
-    pair_secs = []  # per-pair wall share of each device chunk
+    pair_secs = []  # per-pair wall share of each device chunk (group)
     prior = None  # (R0 [3,3], T0 [3], ell0 scalar) from the last chunk
+    # without motion_prior the chunks are fully independent, so their
+    # fetches are deferred and batched (same rationale as run_odometry's
+    # fetch_every): the next chunk dispatches while the previous one
+    # computes, and one transfer drains several chunks' results.  The
+    # motion_prior path needs each chunk's transforms on the host before
+    # dispatching the next, so it keeps the per-chunk fetch.
+    pending = []          # (idxs, (tf, iterations, converged)) awaiting fetch
+    flush_chunks = 4      # chunks per deferred flush
+    group_t0 = time.time()
+
+    def flush_pending():
+        nonlocal group_t0
+        if not pending:
+            return
+        import jax
+
+        fetched = jax.device_get([p[1] for p in pending])
+        n_in_group = sum(len(p[0]) for p in pending)
+        per = (time.time() - group_t0) / n_in_group
+        for (idxs, _), (tfs, its, cvg) in zip(pending, fetched):
+            for k, i in enumerate(idxs):
+                rels.append(tfs[k])
+                iters.append(int(its[k]))
+                conv.append(bool(cvg[k]))
+                pair_secs.append(per)
+            log(f"pairs {idxs[0]}..{idxs[-1]} registered")
+        pending.clear()
+        group_t0 = time.time()
+
     for start in range(0, n_pairs, batch):
         chunk_t0 = time.time()
         idxs = list(range(start, min(start + batch, n_pairs)))
@@ -418,21 +447,25 @@ def run_odometry_batched(
                 ell0=np.full((batch,), prior[2], np.float32),
             )
         res = align_batched(params, fb, mb, **kw)
+        if not motion_prior:
+            pending.append((idxs, (res.tf, res.iterations, res.converged)))
+            if len(pending) >= flush_chunks:
+                flush_pending()
+            continue
         tfs, its, cvg, res_R, res_T, res_ell = _fetch(
             res.tf, res.iterations, res.converged, res.R, res.T, res.ell,
         )
-        if motion_prior:
-            fin = np.isfinite(tfs).all(axis=(1, 2))
-            if fin.any():
-                last = int(np.max(np.nonzero(fin)[0]))
-                prior = (
-                    np.asarray(res_R, np.float32)[last],
-                    np.asarray(res_T, np.float32)[last],
-                    params.ell_init if adaptive
-                    else float(res_ell[last]),
-                )
-            else:
-                prior = None
+        fin = np.isfinite(tfs).all(axis=(1, 2))
+        if fin.any():
+            last = int(np.max(np.nonzero(fin)[0]))
+            prior = (
+                np.asarray(res_R, np.float32)[last],
+                np.asarray(res_T, np.float32)[last],
+                params.ell_init if adaptive
+                else float(res_ell[last]),
+            )
+        else:
+            prior = None
         chunk_dt = time.time() - chunk_t0
         for k, i in enumerate(idxs):
             rels.append(tfs[k])
@@ -440,6 +473,7 @@ def run_odometry_batched(
             conv.append(bool(cvg[k]))
             pair_secs.append(chunk_dt / len(idxs))
         log(f"pairs {idxs[0]}..{idxs[-1]} registered")
+    flush_pending()
 
     records = []
     accum = np.eye(4)
