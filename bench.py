@@ -502,8 +502,10 @@ def bench_sequence(n_frames=100):
                                       batch=16, output=out_b,
                                       log=lambda *a: None)
         dt_bat = time.perf_counter() - t0
-        # exclude the first chunk's compile from the steady-state rate
-        bat_s = float(np.median([x.seconds for x in recs_b[16:]]))
+        # exclude the first flush group's compile from the steady-state
+        # rate (the driver drains 4 chunks of 16 pairs per fetch, so the
+        # first 64 records share the compile-inflated group time)
+        bat_s = float(np.median([x.seconds for x in recs_b[64:]]))
         stats_b = ate_rmse(gt, read_trajectory(out_b))
 
         n_pairs = n_frames - 1

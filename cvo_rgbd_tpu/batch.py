@@ -17,7 +17,6 @@ import time
 import numpy as np
 
 from cvo_rgbd_tpu import MATLAB_PARAMS, align_jit, pad_cloud
-from cvo_rgbd_tpu.odometry import _fetch
 from cvo_rgbd_tpu.core.cloud import round_up
 from cvo_rgbd_tpu.io.pcd import read_pcd
 from cvo_rgbd_tpu.utils import grid_downsample, range_filter
@@ -65,21 +64,39 @@ def run_batch(
     results = np.full((n, 4, 4), np.nan)
     results[0] = np.eye(4)
     times = np.zeros(n - 1)
+    # every pair is an independent cold-start registration, so ALL
+    # aligns dispatch first (async) and ONE transfer drains the results
+    # — a blocking per-pair fetch would serialize the loop on the relay
+    # round-trip (~25-30 ms each, docs/PERF.md).  Dispatch-time errors
+    # (bad cloud shapes etc.) still fail per pair; non-finite results
+    # are marked at drain time (rgbddataset_rkhs.m:75-80 semantics).
+    t0 = time.perf_counter()
+    handles = {}
+    errors = {}
     for i in range(1, n):
-        t0 = time.perf_counter()
         try:
             res = align_jit(params, padded[i - 1], padded[i])
-            # one transfer: a second fetch costs another relay RTT
-            tf, its = _fetch(res.tf, res.iterations)
-            if not np.isfinite(tf).all():
-                raise FloatingPointError("non-finite transform")
-            results[i] = tf
-            status = f"iters={int(its)}"
+            handles[i] = (res.tf, res.iterations)
         except Exception as e:  # skip-and-mark (rgbddataset_rkhs.m:75-80)
-            status = f"FAILED ({e})"
-        times[i - 1] = time.perf_counter() - t0
+            errors[i] = str(e)
+    import jax
+
+    fetched = jax.device_get([handles[i] for i in sorted(handles)])
+    per = (time.perf_counter() - t0) / max(n - 1, 1)
+    times[:] = per
+    drained = dict(zip(sorted(handles), fetched))
+    for i in range(1, n):
+        if i in errors:
+            status = f"FAILED ({errors[i]})"
+        else:
+            tf, its = drained[i]
+            if not np.isfinite(tf).all():
+                status = "FAILED (non-finite transform)"
+            else:
+                results[i] = tf
+                status = f"iters={int(its)}"
         log(f"pair {i - 1}->{i} ({clouds[i][0]}): {status} "
-            f"t={times[i - 1] * 1e3:.1f}ms")
+            f"t={per * 1e3:.1f}ms")
 
     if output is None:
         stamp = time.strftime("%d-%b-%Y-%H-%M-%S")
