@@ -578,6 +578,21 @@ def bench_sequence_full(n_frames=573, period=33):
         stats = ate_rmse(gt, est)
         r = rpe(gt, est, delta=1.0, delta_unit="s")
 
+        # adaptive variant at the same scale (adaptive_cvo_main.cpp is
+        # the other half of the reference product): acvo odometry over
+        # the same 573 frames, feature_type-0 frontend
+        from cvo_rgbd_tpu import AcvoParams
+
+        pa = AcvoParams(eps=5e-4, eps_2=1e-4)
+        out_a = os.path.join(root, "acvo_poses_qt.txt")
+        t0 = time.perf_counter()
+        recs_a = run_odometry(root, 1, adaptive=True, params=pa,
+                              num_want=1024, output=out_a,
+                              log=lambda *a: None)
+        dt_a = time.perf_counter() - t0
+        frame_s_a = float(np.median([x.seconds for x in recs_a[1:]]))
+        stats_a = ate_rmse(gt, read_trajectory(out_a))
+
         entries = load_assoc(os.path.join(root, "assoc.txt"))
         frontend = make_frontend(1, 1024, 1)
         slam = KeyframeSlam(p, SlamConfig(keyframe=KeyframePolicy(max_span=8)))
@@ -606,6 +621,15 @@ def bench_sequence_full(n_frames=573, period=33):
                     float(np.mean([x.iterations for x in recs])), 1
                 ),
                 "failed_pairs": int(sum(x.failed for x in recs)),
+            },
+            "odometry_acvo": {
+                "ate_rmse_m": round(stats_a["rmse"], 4),
+                "fps_warm": round(1.0 / frame_s_a, 1),
+                "wall_s": round(dt_a, 1),
+                "mean_iterations": round(
+                    float(np.mean([x.iterations for x in recs_a])), 1
+                ),
+                "failed_pairs": int(sum(x.failed for x in recs_a)),
             },
             "slam": {
                 "keyframes": len(slam.keyframes),

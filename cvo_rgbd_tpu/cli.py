@@ -98,11 +98,18 @@ def _cmd_stitch(args):
     clouds = load_pcd_dir(args.directory, grid=args.grid)
     cap = round_up(max(c[1].shape[0] for c in clouds))
     padded = [pad_cloud(p, c, capacity=cap) for _, p, c in clouds]
+    # pairs are independent cold-start aligns: dispatch them all, then
+    # ONE device->host drain (a per-pair fetch costs a relay RTT each)
+    import jax
+
+    tfs = jax.device_get([
+        align_jit(MATLAB_PARAMS, padded[k - 1], padded[k]).tf
+        for k in range(1, len(clouds))
+    ])
     accum = np.eye(4)
     placed = [(clouds[0][1], clouds[0][2])]
     for k in range(1, len(clouds)):
-        res = align_jit(MATLAB_PARAMS, padded[k - 1], padded[k])
-        accum = accum @ np.asarray(res.tf)
+        accum = accum @ tfs[k - 1]
         placed.append((transform_points(accum, clouds[k][1]), clouds[k][2]))
     pos, col = merge_clouds(placed, grid=args.merge_grid)
     write_ply(args.output, pos, col)

@@ -109,21 +109,24 @@ def keyframe_score(params, key_cloud, cloud, key_self=None, cloud_self=None):
 
 
 def keyframe_scores_batched(params, cand_clouds, cloud, cand_selfs,
-                            cloud_self):
+                            cloud_self, min_pad=32):
     """Score `cloud` against K candidate clouds in one device call.
 
     cand_clouds: list[PointCloud] (same capacity); cand_selfs: list of
     their cached self inner products.  Returns np.ndarray [K] of
-    normalized scores.  The batch is padded to the next power of two so
-    the compiled kernel is reused across growing keyframe sets; padded
-    lanes are all-masked clouds (score 0).
+    normalized scores.  The batch is padded to the next power of two,
+    floored at `min_pad`, so the compiled kernel is reused across
+    growing keyframe sets — the floor keeps the compile count at
+    log2(K_max/min_pad)+1 (each recompile of the vmapped Gram costs
+    multi-second relay round trips, while the padded lanes' extra
+    device work is ~1 ms); padded lanes are all-masked clouds (score 0).
     """
     from cvo_rgbd_tpu.core.cloud import stack_clouds
 
     k = len(cand_clouds)
     if k == 0:
         return np.zeros((0,), np.float32)
-    pad = 1
+    pad = min_pad
     while pad < k:
         pad *= 2
     if pad > k:

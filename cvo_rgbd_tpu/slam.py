@@ -78,6 +78,12 @@ class KeyframeSlam:
         # is a near-exact prior for the next frame's
         self._warm = None       # (R0, T0, ell0)
         self._warm_kf = -1
+        # explicit cold-start seed (identity / ell_init): passing it
+        # keeps every align in the system on one compiled signature
+        self._cold = (
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            np.float32(params.ell_init),
+        )
 
     def process(self, index, cloud):
         """Register one frame; returns its (odometry) world pose."""
@@ -101,7 +107,10 @@ class KeyframeSlam:
         if self._warm is not None and self._warm_kf == kf_id:
             res = align_jit(self.params, key.cloud, cloud, *self._warm)
         else:
-            res = align_jit(self.params, key.cloud, cloud)
+            # explicit cold seed: keeps cold and warm aligns on ONE
+            # compiled signature (the no-argument form traces a second
+            # whole align program — a separate multi-second compile)
+            res = align_jit(self.params, key.cloud, cloud, *self._cold)
         # the selector's overlap score needs <f_key, f_cloud>; dispatch
         # it too, then ONE device->host transfer for the whole frame
         # (this loop used to pay three separate ~25-30 ms relay RTTs
@@ -186,7 +195,7 @@ class KeyframeSlam:
         R0 = prior[:3, :3].T.astype(np.float32)
         T0 = (-prior[:3, :3].T @ prior[:3, 3]).astype(np.float32)
         res_p = align_jit(self.params, cand.cloud, kf.cloud, R0, T0)
-        res_c = align_jit(self.params, cand.cloud, kf.cloud)
+        res_c = align_jit(self.params, cand.cloud, kf.cloud, *self._cold)
         quals = aligned_fip(
             self.params, cand.cloud, kf.cloud, (res_p.tf, res_c.tf),
         )

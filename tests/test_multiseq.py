@@ -167,3 +167,25 @@ def test_multiseq_adaptive_matches_single(synth_dataset, tmp_path):
     assert set(batched) == set(single)
     for t in single:
         np.testing.assert_allclose(batched[t], single[t], atol=5e-3)
+
+
+def test_multiseq_fetch_cadence_invariant(synth_dataset, tmp_path):
+    """fetch_every only batches the device->host flushes; the per-lane
+    warm chain runs on device either way (multiseq._compiled_lane_post)
+    and pose chaining happens on the host from the same transforms —
+    trajectories must be bit-identical across cadences."""
+    import shutil
+
+    p = CvoParams(max_iter=100)
+    trajs = {}
+    for fe in (1, 3):
+        # copy the dataset so each cadence writes its own trajectory
+        root = tmp_path / f"fe{fe}"
+        shutil.copytree(synth_dataset, root)
+        outs = run_multiseq([str(root)], 1, params=p, num_want=NUM_WANT,
+                            fetch_every=fe, log=lambda *a: None)
+        (path,) = set(outs.values())
+        trajs[fe] = read_trajectory(path)
+    assert set(trajs[1]) == set(trajs[3])
+    for t in trajs[1]:
+        np.testing.assert_array_equal(trajs[1][t], trajs[3][t])
