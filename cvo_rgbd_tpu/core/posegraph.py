@@ -103,14 +103,50 @@ def _edge_residual_jac(Xi, Xj, Z):
     return r, Ji, Jj
 
 
-def _edge_terms(nodes, edge_i, edge_j, edge_z, edge_w):
+def _edge_terms(nodes, edge_i, edge_j, edge_z, edge_w, huber_delta,
+                robust="huber"):
     """Per-edge normal-equation pieces: diagonal contributions
     Hii/Hjj [E,6,6], the off-diagonal coupling block B = w JiT Jj
-    [E,6,6], gradient pieces bi/bj [E,6], and the cost."""
+    [E,6,6], gradient pieces bi/bj [E,6], and the cost.
+
+    `huber_delta > 0` enables a robust kernel by IRLS (each GN
+    iteration rescales edge weights from the current residual norms),
+    so a wrong loop closure — a registration that converged to the
+    wrong optimum but slipped past the slam outlier gates — damages
+    the trajectory less than exact least squares.  delta <= 0 is exact
+    least squares.  `robust` picks the kernel (STATIC under jit):
+
+    - "huber":  w = min(1, delta/||r||).  Convex; outlier influence is
+      bounded but CONSTANT (force ~ delta), so a lone far outlier
+      against a free chain end still displaces it.
+    - "cauchy": w = 1/(1 + ||r||^2/delta^2).  Redescending; outlier
+      influence ~ delta^2/||r||, vanishing for far outliers — the
+      standard choice for robust pose graphs (DCS/switchable
+      constraints are equivalent reweightings).  Non-convex: relies on
+      the odometry chain being a sane initialization, which is exactly
+      the SLAM setting.
+
+    The returned cost is the matching robust cost, monotone under the
+    same IRLS iteration."""
     r, Ji, Jj = jax.vmap(_edge_residual_jac)(
         nodes[edge_i], nodes[edge_j], edge_z
     )
-    w = edge_w[:, None, None]
+    rn2 = jnp.sum(r * r, axis=-1)
+    rn = jnp.sqrt(rn2 + 1e-12)
+    d2 = huber_delta * huber_delta
+    if robust == "cauchy":
+        scale = 1.0 / (1.0 + rn2 / jnp.maximum(d2, 1e-12))
+        rho = d2 * jnp.log1p(rn2 / jnp.maximum(d2, 1e-12))
+    elif robust == "huber":
+        scale = jnp.minimum(1.0, huber_delta / rn)
+        rho = jnp.where(
+            rn > huber_delta, huber_delta * (2.0 * rn - huber_delta), rn2
+        )
+    else:
+        raise ValueError(f"unknown robust kernel {robust!r}")
+    use = huber_delta > 0.0
+    w_e = edge_w * jnp.where(use, scale, 1.0)
+    w = w_e[:, None, None]
     mm = functools.partial(jnp.matmul, precision=_HI)
     JiT = jnp.swapaxes(Ji, -1, -2)
     JjT = jnp.swapaxes(Jj, -1, -2)
@@ -119,7 +155,7 @@ def _edge_terms(nodes, edge_i, edge_j, edge_z, edge_w):
     B = w * mm(JiT, Jj)
     bi = (w * mm(JiT, r[..., None]))[..., 0]
     bj = (w * mm(JjT, r[..., None]))[..., 0]
-    cost = jnp.sum(edge_w * jnp.sum(r * r, axis=-1))
+    cost = jnp.sum(edge_w * jnp.where(use, rho, rn2))
     return Hii, Hjj, B, bi, bj, cost
 
 
@@ -129,10 +165,11 @@ def _apply_update(nodes, delta):
     return jnp.matmul(nodes, se3.exp_se3(delta), precision=_HI)
 
 
-def _gn_step_dense(nodes, edge_i, edge_j, edge_z, edge_w, damping):
+def _gn_step_dense(nodes, edge_i, edge_j, edge_z, edge_w, damping,
+                   huber_delta, robust):
     n = nodes.shape[0]
     Hii, Hjj, B, bi, bj, cost = _edge_terms(
-        nodes, edge_i, edge_j, edge_z, edge_w
+        nodes, edge_i, edge_j, edge_z, edge_w, huber_delta, robust
     )
     H = jnp.zeros((n, n, 6, 6), jnp.float32)
     b = jnp.zeros((n, 6), jnp.float32)
@@ -154,7 +191,7 @@ def _gn_step_dense(nodes, edge_i, edge_j, edge_z, edge_w, damping):
 
 
 def _gn_step_pcg(nodes, edge_i, edge_j, edge_z, edge_w, damping, cg_iters,
-                 axis=None):
+                 huber_delta=0.0, robust="huber", axis=None):
     """Sparse GN step: block-diagonal accumulation + edge-block
     matrix-free PCG.  Under shard_map (`axis` set) the edge arrays hold
     this device's shard; accumulators and the matvec's off-diagonal
@@ -162,7 +199,7 @@ def _gn_step_pcg(nodes, edge_i, edge_j, edge_z, edge_w, damping, cg_iters,
     n = nodes.shape[0]
     mm = functools.partial(jnp.matmul, precision=_HI)
     Hii, Hjj, B, bi, bj, cost = _edge_terms(
-        nodes, edge_i, edge_j, edge_z, edge_w
+        nodes, edge_i, edge_j, edge_z, edge_w, huber_delta, robust
     )
     Hd = (
         jnp.zeros((n, 6, 6), jnp.float32)
@@ -203,31 +240,33 @@ def _run(step, graph, iters):
     return jax.lax.scan(body, graph.nodes, None, length=iters)
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
-def _optimize_dense(graph: PoseGraph, iters: int, damping: float):
+@functools.partial(jax.jit, static_argnames=("iters", "robust"))
+def _optimize_dense(graph: PoseGraph, iters: int, damping: float,
+                    huber_delta: float, robust: str):
     return _run(
         lambda nodes: _gn_step_dense(
             nodes, graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_w,
-            damping,
+            damping, huber_delta, robust,
         ),
         graph, iters,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
 def _optimize_pcg(graph: PoseGraph, iters: int, damping: float,
-                  cg_iters: int):
+                  cg_iters: int, huber_delta: float, robust: str):
     return _run(
         lambda nodes: _gn_step_pcg(
             nodes, graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_w,
-            damping, cg_iters,
+            damping, cg_iters, huber_delta, robust,
         ),
         graph, iters,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters):
+def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters,
+                          huber_delta, robust):
     from jax.sharding import PartitionSpec as P
 
     from cvo_rgbd_tpu.parallel.sharded import shard_map
@@ -236,7 +275,8 @@ def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters):
         return _run(
             lambda nodes: _gn_step_pcg(
                 nodes, graph.edge_i, graph.edge_j, graph.edge_z,
-                graph.edge_w, damping, cg_iters, axis=axis,
+                graph.edge_w, damping, cg_iters, huber_delta, robust,
+                axis=axis,
             ),
             graph, iters,
         )
@@ -252,7 +292,8 @@ def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters):
 
 def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
              solver: str = "auto", cg_iters: int | None = None, mesh=None,
-             axis: str = "sp"):
+             axis: str = "sp", huber_delta: float = 0.0,
+             robust: str = "huber"):
     """Gauss-Newton; returns (optimized nodes [N,4,4], costs [iters]).
 
     solver: "dense" (exact 6Nx6N solve, O(N^2) memory), "pcg"
@@ -264,6 +305,11 @@ def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
     edge set over `axis` (forces pcg); edges are padded with weight-0
     self-loops to a multiple of the axis size (zero weight contributes
     nothing anywhere).
+
+    `huber_delta > 0` turns on a Huber robust kernel (IRLS: edge
+    weights rescale by min(1, delta/||r||) every GN iteration), which
+    contains the damage of a wrong loop closure; 0 = exact least
+    squares (default, the historical behavior).
     """
     n = int(graph.nodes.shape[0])
     if solver == "auto":
@@ -290,10 +336,11 @@ def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
                     [graph.edge_w, jnp.zeros(pad, jnp.float32)]),
             )
         return _compiled_pcg_sharded(mesh, axis, iters, damping,
-                                     cg_iters)(graph)
+                                     cg_iters, huber_delta, robust)(graph)
     if solver == "dense":
-        return _optimize_dense(graph, iters, damping)
-    return _optimize_pcg(graph, iters, damping, cg_iters)
+        return _optimize_dense(graph, iters, damping, huber_delta, robust)
+    return _optimize_pcg(graph, iters, damping, cg_iters, huber_delta,
+                         robust)
 
 
 def graph_cost(graph: PoseGraph, nodes=None):

@@ -59,6 +59,15 @@ class SlamConfig:
     loop_prior_max_m: float = 1.0
     loop_prior_max_rad: float = 1.0
     optimize_iters: int = 15
+    # Robust kernel for the pose-graph solve (core.posegraph): a wrong
+    # loop closure that slips past the correction gates down-weights
+    # itself by IRLS instead of bending the trajectory.  Cauchy
+    # (redescending) rejects far outliers from the odometry
+    # initialization; good edges' residuals sit far below delta, so
+    # clean graphs solve identically to exact least squares.
+    # huber_delta=0 disables (exact LS).
+    huber_delta: float = 0.3
+    robust_kernel: str = "cauchy"
 
 
 class KeyframeSlam:
@@ -225,7 +234,9 @@ class KeyframeSlam:
         if len(self.keyframes) < 2:
             return list(self.frame_poses), kf_poses
         graph = from_odometry(kf_poses, loop_edges=self.loop_edges)
-        nodes, _ = optimize(graph, iters=self.config.optimize_iters)
+        nodes, _ = optimize(graph, iters=self.config.optimize_iters,
+                            huber_delta=self.config.huber_delta,
+                            robust=self.config.robust_kernel)
         nodes = np.asarray(nodes)
         # re-anchor every frame to its (corrected) keyframe
         out = []

@@ -172,3 +172,60 @@ def test_large_graph_pcg(rng):
     end_err = np.linalg.norm(nodes[-1][:3, 3] - gt[-1][:3, 3])
     assert end_err < start_err / 5, (start_err, end_err)
     assert float(costs[-1]) < 0.2 * float(costs[0])
+
+
+def test_robust_kernel_contains_bad_loop_edge(rng):
+    """A WRONG loop closure (high weight, large false correction) bends
+    the exact-least-squares solution; the redescending Cauchy kernel
+    IRLS-rejects it from the odometry initialization.  Good edges
+    (residuals << delta) are untouched, so the robust solve on a clean
+    graph equals the exact one."""
+    gt = [np.eye(4, dtype=np.float32)]
+    step = _se3([0, 0, 0.02], [0.25, 0, 0])
+    for _ in range(12):
+        gt.append(gt[-1] @ step)
+    gt = np.stack(gt)
+
+    # clean graph: robust == exact
+    g_clean = from_odometry(gt)
+    n_exact, _ = optimize(g_clean, iters=8)
+    n_rob, _ = optimize(g_clean, iters=8, huber_delta=0.3, robust="cauchy")
+    np.testing.assert_allclose(np.asarray(n_rob), np.asarray(n_exact),
+                               atol=1e-5)
+
+    # good loop closures pin the shape (without them a chain + one bad
+    # edge is DEGENERATE: a rigid rotation about the gauge node
+    # satisfies any single loop edge at zero odometry cost, and no
+    # robust kernel can object) ... plus one wrong loop edge claiming
+    # node 11 sits near node 0
+    good = [
+        (0, 6, np.linalg.inv(gt[0]) @ gt[6], 5.0),
+        (3, 9, np.linalg.inv(gt[3]) @ gt[9], 5.0),
+        (0, 12, np.linalg.inv(gt[0]) @ gt[12], 5.0),
+    ]
+    z_bad = _se3([0, 0, 0.4], [0.5, 0.3, 0])
+    bad = [(0, 11, z_bad, 5.0)]
+    g_bad = from_odometry(gt, loop_edges=good + bad)
+    n_ls, _ = optimize(g_bad, iters=12)
+    n_cau, _ = optimize(g_bad, iters=12, huber_delta=0.15, robust="cauchy")
+    err_ls = np.linalg.norm(np.asarray(n_ls)[11][:3, 3] - gt[11][:3, 3])
+    err_cau = np.linalg.norm(np.asarray(n_cau)[11][:3, 3] - gt[11][:3, 3])
+    # exact LS compromises between good and bad edges; Cauchy rejects
+    # the bad edge and lands back near ground truth (the residual
+    # displacement is the IRLS equilibrium w_bad/(w_bad + w_odom),
+    # which shrinks quadratically with delta)
+    assert err_ls > 0.05, err_ls
+    assert err_cau < 0.1 * err_ls, (err_ls, err_cau)
+
+    # huber (convex, constant outlier force) cannot reject the far
+    # outlier — its IRLS equilibrium still leans on the bad edge; this
+    # is WHY the slam default is cauchy.  It must at least run and
+    # produce finite poses.
+    n_hub, _ = optimize(g_bad, iters=12, huber_delta=0.3, robust="huber")
+    assert np.isfinite(np.asarray(n_hub)).all()
+
+    # pcg path agrees with dense under the robust kernel
+    n_pcg, _ = optimize(g_bad, iters=12, huber_delta=0.15, robust="cauchy",
+                        solver="pcg")
+    np.testing.assert_allclose(np.asarray(n_pcg), np.asarray(n_cau),
+                               atol=5e-3)
