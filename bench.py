@@ -603,11 +603,47 @@ def bench_sequence_full(n_frames=573, period=33):
         raw_stats = ate_rmse(
             gt, {names[i]: slam.frame_poses[i] for i in range(n_frames)}
         )
-        solved, _ = slam.solve()
+        solved, kf_nodes = slam.solve()
         dt_slam = time.perf_counter() - t0
         sol_stats = ate_rmse(
             gt, {names[i]: solved[i] for i in range(n_frames)}
         )
+
+        # map refinement: distributed-BA chain (slam -> pose graph ->
+        # Schur-complement bundle adjustment) at sequence scale
+        kf_idx = [k.index for k in slam.keyframes]
+        t0 = time.perf_counter()
+        ref = slam.refine_map(kf_poses=np.asarray(kf_nodes), iters=8)
+        dt_ba = time.perf_counter() - t0
+        ba_block = None
+        if ref is not None:
+            ba_poses, landmarks, costs = ref
+            ba_poses = np.asarray(ba_poses)
+            kf_before = ate_rmse(gt, {
+                names[i]: np.asarray(kf_nodes)[k]
+                for k, i in enumerate(kf_idx)
+            })
+            kf_after = ate_rmse(gt, {
+                names[i]: ba_poses[k] for k, i in enumerate(kf_idx)
+            })
+            costs = np.asarray(costs)
+            ba_block = {
+                "landmarks": int(np.asarray(landmarks).shape[0]),
+                # the quantity BA optimizes: total squared map
+                # residual (landmark vs observed point), before/after
+                "map_cost_before": round(float(costs[0]), 4),
+                "map_cost_after": round(float(costs[-1]), 4),
+                "kf_ate_before_m": round(kf_before["rmse"], 4),
+                "kf_ate_after_m": round(kf_after["rmse"], 4),
+                "wall_s": round(dt_ba, 1),
+                "note": "map consistency improves (the residual BA "
+                "minimizes); trajectory ATE does not on this scene — "
+                "the pose graph already solved it to mm and the "
+                "continuous surfaces leave no association radius both "
+                "above residual drift and below point spacing, so "
+                "point-to-point correspondences slide (see "
+                "slam.refine_map docstring)",
+            }
 
         return {
             "frames": n_frames,
@@ -637,6 +673,7 @@ def bench_sequence_full(n_frames=573, period=33):
                 "ate_rmse_raw_m": round(raw_stats["rmse"], 4),
                 "ate_rmse_solved_m": round(sol_stats["rmse"], 4),
                 "wall_s": round(dt_slam, 1),
+                "bundle_adjustment": ba_block,
             },
             "mode": "573-frame ray-traced revisit sequence (the "
             "reference's own trajectory length, cvo_main.cpp:36-66), "

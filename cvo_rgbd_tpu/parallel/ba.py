@@ -353,15 +353,22 @@ def ba_cost(problem: BAProblem, poses=None, landmarks=None):
 
 
 def ba_from_keyframes(keyframe_clouds, poses, grid=0.1, radius=0.05,
-                      max_landmarks=8192, rng=None):
+                      max_landmarks=8192, min_obs=2, rng=None):
     """Harvest a BA problem from keyframe clouds + trajectory poses.
 
     CVO is correspondence-free, so correspondences for map refinement
     are built here the classic way: landmark candidates are a grid
-    subsample of keyframe 0's cloud in world frame; each keyframe
+    subsample of ALL keyframe clouds merged in world frame (coverage
+    over the whole map, not just keyframe 0's view); each keyframe
     observes a landmark if its cloud has a point within `radius` of it
     (host-side brute-force NN — keyframe counts and cloud sizes are
-    small).  Returns a BAProblem or None if too few observations.
+    small).  Landmarks seen by fewer than `min_obs` keyframes are
+    dropped — a single-observer landmark adds no pose coupling, only
+    solve work — and each surviving landmark is re-initialized at the
+    MEAN of its observers' matched world points, which centers the
+    initial value among the drift-displaced views instead of
+    inheriting one view's error.  Returns a BAProblem or None if too
+    few observations.
 
     max_landmarks defaults to 8192 (16x round 1's 512): the sparse
     edge-block solver scales in the number of observations, not K·M.
@@ -375,15 +382,14 @@ def ba_from_keyframes(keyframe_clouds, poses, grid=0.1, radius=0.05,
         pos = np.asarray(cloud.positions)[np.asarray(cloud.mask) > 0]
         return pos @ T[:3, :3].T + T[:3, 3]
 
-    cand, _ = grid_downsample(world(keyframe_clouds[0], poses[0]),
-                              np.zeros((np.sum(np.asarray(
-                                  keyframe_clouds[0].mask) > 0), 3)), grid)
+    worlds = [world(c, T) for c, T in zip(keyframe_clouds, poses)]
+    merged = np.concatenate(worlds, axis=0)
+    cand, _ = grid_downsample(merged, np.zeros_like(merged), grid)
     if cand.shape[0] > max_landmarks:
         cand = cand[rng.choice(cand.shape[0], max_landmarks, replace=False)]
 
-    obs_pose, obs_lm, obs_z = [], [], []
-    for k, (cloud, T) in enumerate(zip(keyframe_clouds, poses)):
-        pts_w = world(cloud, T)
+    obs_pose, obs_lm, obs_z, obs_w_pts = [], [], [], []
+    for k, (pts_w, T) in enumerate(zip(worlds, poses)):
         # dense brute-force NN (landmark -> nearest cloud point); fine at
         # keyframe scale: max_landmarks x cloud points
         d2 = ((cand[:, None, :] - pts_w[None, :, :]) ** 2).sum(-1)
@@ -397,10 +403,30 @@ def ba_from_keyframes(keyframe_clouds, poses, grid=0.1, radius=0.05,
         obs_pose.append(np.full(hit.sum(), k, np.int32))
         obs_lm.append(np.nonzero(hit)[0].astype(np.int32))
         obs_z.append(z.astype(np.float32))
+        obs_w_pts.append(pts_w[j[hit]].astype(np.float32))
 
     if not obs_pose:
         return None
-    return make_ba_problem(
-        poses, cand, np.concatenate(obs_pose), np.concatenate(obs_lm),
-        np.concatenate(obs_z),
+    obs_pose = np.concatenate(obs_pose)
+    obs_lm = np.concatenate(obs_lm)
+    obs_z = np.concatenate(obs_z)
+    obs_w_pts = np.concatenate(obs_w_pts)
+
+    counts = np.bincount(obs_lm, minlength=cand.shape[0])
+    keep = counts >= max(min_obs, 1)
+    if not keep.any():
+        return None
+    remap = np.cumsum(keep) - 1
+    sel = keep[obs_lm]
+    obs_pose, obs_lm, obs_z, obs_w_pts = (
+        obs_pose[sel], remap[obs_lm[sel]].astype(np.int32), obs_z[sel],
+        obs_w_pts[sel],
     )
+    # landmark init = mean of its observers' matched world points
+    m = int(keep.sum())
+    sums = np.zeros((m, 3), np.float64)
+    np.add.at(sums, obs_lm, obs_w_pts.astype(np.float64))
+    cnt = np.bincount(obs_lm, minlength=m)[:, None]
+    landmarks = (sums / np.maximum(cnt, 1)).astype(np.float32)
+
+    return make_ba_problem(poses, landmarks, obs_pose, obs_lm, obs_z)

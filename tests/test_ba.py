@@ -128,7 +128,10 @@ def test_ba_from_keyframes(rng):
     assert problem is not None
     c0 = float(ba_cost(problem))
     new_poses, _, costs = ba_solve(problem, iters=8)
-    assert float(costs[-1]) < c0 * 0.5
+    # landmarks now initialize at the mean of their observers' world
+    # points, so c0 starts much closer to the optimum than the old
+    # grid-candidate init — the drop is smaller but still substantial
+    assert float(costs[-1]) < c0 * 0.75
     # refined poses closer to truth than the perturbed input
     def err(P):
         return sum(
