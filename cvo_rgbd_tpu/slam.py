@@ -21,6 +21,7 @@ north star asks for:
 from __future__ import annotations
 
 import dataclasses
+import functools as _ft
 
 import numpy as np
 
@@ -34,6 +35,40 @@ from cvo_rgbd_tpu.keyframes import (
     inner_product_async,
     keyframe_scores_batched,
 )
+
+
+@_ft.lru_cache(maxsize=None)
+def _compiled_slam_step(params, adaptive: bool):
+    """Jitted per-frame slam work: align vs the keyframe + the
+    self/cross inner products the promotion decision needs, with the
+    on-device warm-reset of odometry._compiled_odom_step.  Lets
+    `process_batch` dispatch a whole group of frames and fetch ONCE."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvo_rgbd_tpu import align
+    from cvo_rgbd_tpu.core.registration import function_inner_product
+
+    ell_init = np.float32(params.ell_init)
+
+    def step(key_cloud, cloud, R0, T0, ell0):
+        res = align(params, key_cloud, cloud, R0, T0, ell0)
+        finite = jnp.isfinite(res.tf).all()
+        Rw = jnp.where(finite, res.R, jnp.eye(3, dtype=jnp.float32))
+        Tw = jnp.where(finite, res.T, jnp.zeros(3, jnp.float32))
+        # warm R/T, FRESH ell: keyframe-relative pairs have growing
+        # baselines (unlike consecutive-frame odometry), and carrying
+        # the previous pair's fully-shrunk ell (0.03 after the k>19
+        # schedule, cvo.cpp:408-410) narrows the kernel support so much
+        # that the flow dies before covering the extra offset — the
+        # warm transform is the right prior, the warm length-scale is
+        # not
+        ellw = jnp.full((), ell_init)
+        cs = function_inner_product(params, cloud, cloud)
+        cross = function_inner_product(params, key_cloud, cloud)
+        return res.tf, finite, Rw, Tw, ellw, cs, cross
+
+    return jax.jit(step)
 
 
 @dataclasses.dataclass
@@ -156,6 +191,97 @@ class KeyframeSlam:
             self.keyframes.append(kf)
             self._try_loop_closure(len(self.keyframes) - 1)
         return pose
+
+    def process_batch(self, items):
+        """Process consecutive `(index, cloud)` frames with ONE device
+        fetch for the whole group.
+
+        Every frame still registers against the keyframe active when it
+        was DISPATCHED (the keyframe at group start, or one promoted in
+        an earlier group), so each pose is exact — `pose = key.pose @
+        rel` with rel measured against that keyframe.  What changes vs
+        per-frame `process` is the promotion CADENCE: overlap scores
+        are examined at group granularity, so a promotion (and its
+        loop-closure search) can land up to `len(items)-1` frames later
+        than the sequential driver would place it, with the in-between
+        frames anchored to the older keyframe.  After an in-group
+        promotion, the remaining frames of the group skip promotion
+        checks (their scores were measured against the old keyframe —
+        re-scoring against the new one would need another device round
+        trip, which is exactly what this API removes).
+
+        Use group sizes ~4-8: removes the per-frame relay round-trip
+        (the only blocking sync in `process`).  Returns the list of
+        world poses, one per item.
+        """
+        from cvo_rgbd_tpu.params import AcvoParams
+
+        adaptive = isinstance(self.params, AcvoParams)
+        poses_out = []
+        items = list(items)
+        # the very first frame seeds the keyframe set via process()
+        while items and not self.keyframes:
+            index, cloud = items.pop(0)
+            poses_out.append(self.process(index, cloud))
+        if not items:
+            return poses_out
+
+        step = _compiled_slam_step(self.params, adaptive)
+        key = self.keyframes[-1]
+        kf_id = len(self.keyframes) - 1
+        if self._warm is not None and self._warm_kf == kf_id:
+            warm = self._warm
+        else:
+            # odometry prior for the group's first frame: unlike the
+            # sequential driver (whose new keyframe IS the previous
+            # frame, so cold = identity is exact), a group can open
+            # several steps from a keyframe promoted mid-last-group —
+            # a cold start at that baseline can exhaust max_iter under
+            # the shrinking ell schedule.  inv(key.pose) @ last_pose
+            # is one frame stale, which the warm chain absorbs.
+            prior = np.linalg.inv(key.pose) @ self.frame_poses[-1]
+            R0 = prior[:3, :3].T.astype(np.float32)
+            T0 = (-prior[:3, :3].T @ prior[:3, 3]).astype(np.float32)
+            warm = (R0, T0, np.float32(self.params.ell_init))
+        pend = []
+        for index, cloud in items:
+            out = step(key.cloud, cloud, *warm)
+            warm = (out[2], out[3], out[4])   # on-device warm chain
+            pend.append((index, cloud, out))
+        import jax
+
+        fetched = jax.device_get([p[2] for p in pend])
+        self._warm, self._warm_kf = warm, kf_id
+
+        promoted_any = False
+        for (index, cloud, _), (rel, fin, _, _, _, cs, cross) in zip(
+            pend, fetched
+        ):
+            if not bool(fin):
+                rel = np.eye(4)   # skip-and-mark
+            pose = key.pose @ np.asarray(rel, np.float64)
+            self.frame_poses.append(pose)
+            self.frame_keyframe.append(kf_id)
+            poses_out.append(pose)
+            if promoted_any:
+                continue   # scores are stale vs the new keyframe
+            cs = float(cs)
+            score = float(
+                cross / np.sqrt(float(key.self_fip) * cs + 1e-30)
+            )
+            promoted, _ = self.selector.update_scored(
+                index, cloud, cs, score
+            )
+            if promoted:
+                self.keyframes.append(
+                    Keyframe(index, pose, cloud, self_fip=cs)
+                )
+                self._try_loop_closure(len(self.keyframes) - 1)
+                promoted_any = True
+        if promoted_any:
+            # the stored warm state is relative to the old keyframe
+            self._warm = None
+        return poses_out
 
     def _try_loop_closure(self, kf_id):
         cfg = self.config

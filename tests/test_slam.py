@@ -121,3 +121,48 @@ def test_slam_refine_map(rng):
     # clean input: refined keyframe positions stay close to ground truth
     for kf, P in zip(slam.keyframes, poses):
         assert np.linalg.norm(P[:3, 3] - poses_gt[kf.index][:3, 3]) < 0.05
+
+
+def test_slam_process_batch_matches_sequential(rng):
+    """process_batch with group size G produces the same per-frame
+    poses as per-frame process wherever the active keyframe matches —
+    and never worse end-to-end accuracy than a 2x bound.  Promotions
+    may land up to G-1 frames later (decision cadence), so keyframe
+    indices can differ; pose exactness per frame is the contract."""
+    world, feat = make_world(rng)
+    poses_gt = square_loop_poses()
+    params = CvoParams(max_iter=150)
+    cfg = SlamConfig(
+        keyframe=KeyframePolicy(threshold=0.995, max_span=2),
+        loop_min_separation=3,
+        loop_score_threshold=0.5,
+    )
+    clouds = [observe(world, feat, T) for T in poses_gt]
+
+    seq = KeyframeSlam(params, dataclasses.replace(cfg))
+    for i, c in enumerate(clouds):
+        seq.process(i, c)
+
+    bat = KeyframeSlam(params, dataclasses.replace(cfg))
+    got = []
+    G = 4
+    for s in range(0, len(clouds), G):
+        got.extend(bat.process_batch(
+            [(i, clouds[i]) for i in range(s, min(s + G, len(clouds)))]
+        ))
+    assert len(got) == len(clouds)
+    assert len(bat.frame_poses) == len(seq.frame_poses)
+
+    # per-frame accuracy vs ground truth must stay comparable
+    err_seq = max(
+        np.linalg.norm(p[:3, 3] - g[:3, 3])
+        for p, g in zip(seq.frame_poses, poses_gt)
+    )
+    err_bat = max(
+        np.linalg.norm(p[:3, 3] - g[:3, 3])
+        for p, g in zip(bat.frame_poses, poses_gt)
+    )
+    assert err_bat <= max(2.0 * err_seq, 5e-3), (err_seq, err_bat)
+    # the batched-decision run still promotes keyframes and can solve
+    assert len(bat.keyframes) >= 2
+    bat.solve()
