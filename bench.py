@@ -847,54 +847,140 @@ def main():
     sequence = bench_sequence()
     sequence_full = bench_sequence_full()
     scaling = bench_scaling()
-    print(
-        json.dumps(
-            {
-                "metric": "fr1desk_pair_registration_rate_batched",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps * MATLAB_MEAN_S_PER_PAIR, 2),
-                "fps_sequential": round(1.0 / per_pair_seq, 3),
-                "fps_batched": round(fps, 3),
-                "fps_multiseq_warm": warm_lockstep["fps"],
-                "warm_lockstep": warm_lockstep,
-                "reference_scale": ref_scale,
-                "sequence": sequence,
-                "sequence_573": sequence_full,
-                "scaling": scaling,
-                "pose_err_vs_stored_matlab": {
-                    "max_translation_mm": round(max(trans_err_mm), 2),
-                    "max_rotation_mrad": round(max(rot_err_mrad), 2),
-                    "per_pair_translation_mm": [
-                        round(e, 2) for e in trans_err_mm
-                    ],
-                    "per_pair_rotation_mrad": [
-                        round(e, 2) for e in rot_err_mrad
-                    ],
-                },
-                "detail": {
-                    "mode": "batched whole-align Pallas mega-kernel "
-                    "(align_batched with backend='fused'; vmap lowers to "
-                    "a grid so each pair runs its own VMEM-resident align "
-                    "loop): 4 distinct fixture pairs replicated "
-                    f"{REPLICATE}x to fill a {nbatch}-pair batch; every "
-                    "lane runs the full align loop (replication discloses "
-                    "itself here; it amortizes the dev relay's ~25-30 ms "
-                    "per-dispatch RTT, see docs/PERF.md)",
-                    "per_pair_ms_batched": round(per_pair * 1e3, 3),
-                    "per_pair_ms_sequential": round(per_pair_seq * 1e3, 3),
-                    "sequential_fps": round(1.0 / per_pair_seq, 3),
-                    "mean_iterations": round(float(np.mean(iters)), 1),
-                    "pairs": len(pairs),
-                    "batch": nbatch,
-                    "rounds": rounds,
-                    "device": str(jax.devices()[0]),
-                    "baseline": "MATLAB CPU mean 7.954 s/pair "
-                    "(stored registration_time, fr1/desk)",
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "fr1desk_pair_registration_rate_batched",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps * MATLAB_MEAN_S_PER_PAIR, 2),
+        "fps_sequential": round(1.0 / per_pair_seq, 3),
+        "fps_batched": round(fps, 3),
+        "fps_multiseq_warm": warm_lockstep["fps"],
+        "warm_lockstep": warm_lockstep,
+        "reference_scale": ref_scale,
+        "sequence": sequence,
+        "sequence_573": sequence_full,
+        "scaling": scaling,
+        "pose_err_vs_stored_matlab": {
+            "max_translation_mm": round(max(trans_err_mm), 2),
+            "max_rotation_mrad": round(max(rot_err_mrad), 2),
+            "per_pair_translation_mm": [
+                round(e, 2) for e in trans_err_mm
+            ],
+            "per_pair_rotation_mrad": [
+                round(e, 2) for e in rot_err_mrad
+            ],
+        },
+        "detail": {
+            "mode": "batched whole-align Pallas mega-kernel "
+            "(align_batched with backend='fused'; vmap lowers to "
+            "a grid so each pair runs its own VMEM-resident align "
+            "loop): 4 distinct fixture pairs replicated "
+            f"{REPLICATE}x to fill a {nbatch}-pair batch; every "
+            "lane runs the full align loop (replication discloses "
+            "itself here; it amortizes the dev relay's ~25-30 ms "
+            "per-dispatch RTT, see docs/PERF.md)",
+            "per_pair_ms_batched": round(per_pair * 1e3, 3),
+            "per_pair_ms_sequential": round(per_pair_seq * 1e3, 3),
+            "sequential_fps": round(1.0 / per_pair_seq, 3),
+            "mean_iterations": round(float(np.mean(iters)), 1),
+            "pairs": len(pairs),
+            "batch": nbatch,
+            "rounds": rounds,
+            "device": str(jax.devices()[0]),
+            "baseline": "MATLAB CPU mean 7.954 s/pair "
+            "(stored registration_time, fr1/desk)",
+        },
+    }
+    # Full verbose record -> disk; stdout gets ONE compact line (the
+    # round-3 12 KB line overflowed the driver's 2,000-char stdout tail
+    # and the round's artifact recorded parsed:null — VERDICT r3 item 1).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact_line(full), separators=(",", ":")))
+
+
+def compact_line(full):
+    """Headline scalars only, guaranteed << 2000 chars; prose and
+    per-pair arrays live in bench_full.json."""
+
+    def _ref(b):
+        pe = b["pose_err_vs_truth"]
+        out = {
+            "fps": b["fps"],
+            "ms_it": b["ms_per_iteration"],
+            "it": b["mean_iterations"],
+            "conv": f'{b["converged"]}/{b["pairs"]}',
+            "t_mm": pe["median_translation_mm"],
+            "r_mrad": pe["median_rotation_mrad"],
+            "att_pct": b["roofline_attainment_pct"],
+        }
+        return out
+
+    seq = full["sequence"]
+    s573 = full["sequence_573"]
+    sc_rows = full["scaling"].get("rows", [])
+    c = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "vs_baseline": full["vs_baseline"],
+        "fps_sequential": full["fps_sequential"],
+        "fps_batched": full["fps_batched"],
+        "fps_multiseq_warm": full["fps_multiseq_warm"],
+        "ref_scale": {
+            "n": full["reference_scale"]["cvo"]["n"],
+            "pairs": full["reference_scale"]["cvo"]["pairs"],
+            "cvo": _ref(full["reference_scale"]["cvo"]),
+            "acvo": _ref(full["reference_scale"]["acvo"]),
+        },
+        "seq100": {
+            "ate_m": seq["ate_rmse_m"],
+            "rpe_t_m": seq["rpe_trans_rmse_m"],
+            "fps_seq": seq["fps_sequential_warm"],
+            "fps_batch": seq["batched"]["fps_align_steady"],
+            "fail": seq["failed_pairs"],
+        },
+        "seq573": {
+            "odom": {
+                "ate_m": s573["odometry"]["ate_rmse_m"],
+                "fps": s573["odometry"]["fps_warm"],
+                "fail": s573["odometry"]["failed_pairs"],
+            },
+            "acvo": {
+                "ate_m": s573["odometry_acvo"]["ate_rmse_m"],
+                "fps": s573["odometry_acvo"]["fps_warm"],
+            },
+            "slam": {
+                "kf": s573["slam"]["keyframes"],
+                "loops": s573["slam"]["loop_edges"],
+                "raw_m": s573["slam"]["ate_rmse_raw_m"],
+                "solved_m": s573["slam"]["ate_rmse_solved_m"],
+            },
+        },
+        "scaling_sp_speedup": [
+            r.get("speedup_vs_1dev") for r in sc_rows
+            if r.get("mode") == "sp_shard"
+        ],
+        "matlab_parity_max_mm":
+            full["pose_err_vs_stored_matlab"]["max_translation_mm"],
+        "full": "bench_full.json",
+    }
+    ba = s573["slam"].get("bundle_adjustment")
+    if ba:
+        c["seq573"]["ba"] = {
+            "cost0": ba["map_cost_before"], "cost1": ba["map_cost_after"],
+        }
+    if "slam_acvo" in s573:
+        sa = s573["slam_acvo"]
+        c["seq573"]["slam_acvo"] = {
+            "kf": sa["keyframes"], "loops": sa["loop_edges"],
+            "raw_m": sa["ate_rmse_raw_m"], "solved_m": sa["ate_rmse_solved_m"],
+        }
+    for k in ("ref_tolerance", "oracle_traj", "degraded", "comms_model"):
+        if k in full:
+            c[k] = full[k]
+    return c
 
 
 if __name__ == "__main__":

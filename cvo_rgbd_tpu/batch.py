@@ -96,7 +96,8 @@ def run_batch(
                 results[i] = tf
                 status = f"iters={int(its)}"
         log(f"pair {i - 1}->{i} ({clouds[i][0]}): {status} "
-            f"t={per * 1e3:.1f}ms")
+            f"t_avg={per * 1e3:.1f}ms (batch amortized: dispatch+drain "
+            "time / pairs, not a per-pair measurement)")
 
     if output is None:
         stamp = time.strftime("%d-%b-%Y-%H-%M-%S")

@@ -104,7 +104,7 @@ def _edge_residual_jac(Xi, Xj, Z):
 
 
 def _edge_terms(nodes, edge_i, edge_j, edge_z, edge_w, huber_delta,
-                robust="huber"):
+                robust="huber", k=None, warmup=0):
     """Per-edge normal-equation pieces: diagonal contributions
     Hii/Hjj [E,6,6], the off-diagonal coupling block B = w JiT Jj
     [E,6,6], gradient pieces bi/bj [E,6], and the cost.
@@ -127,21 +127,36 @@ def _edge_terms(nodes, edge_i, edge_j, edge_z, edge_w, huber_delta,
       the SLAM setting.
 
     The returned cost is the matching robust cost, monotone under the
-    same IRLS iteration."""
+    same IRLS iteration.
+
+    `k`/`warmup` implement GRADUATED robustification for the
+    redescending Cauchy kernel: a genuine loop closure that corrects
+    large odometry drift starts with ||r|| far above delta, where
+    Cauchy's weight ~ delta^2/||r||^2 can suppress the correction and
+    let the non-convex IRLS equilibrate with the loop ignored.  The
+    first `warmup` GN iterations therefore run the CONVEX Huber kernel
+    (bounded but non-vanishing outlier influence pulls the chain into
+    the loop's basin); iterations k >= warmup switch to Cauchy, which
+    then zeroes out any edge still far off — i.e. an actual outlier."""
     r, Ji, Jj = jax.vmap(_edge_residual_jac)(
         nodes[edge_i], nodes[edge_j], edge_z
     )
     rn2 = jnp.sum(r * r, axis=-1)
     rn = jnp.sqrt(rn2 + 1e-12)
     d2 = huber_delta * huber_delta
+    h_scale = jnp.minimum(1.0, huber_delta / rn)
+    h_rho = jnp.where(
+        rn > huber_delta, huber_delta * (2.0 * rn - huber_delta), rn2
+    )
     if robust == "cauchy":
         scale = 1.0 / (1.0 + rn2 / jnp.maximum(d2, 1e-12))
         rho = d2 * jnp.log1p(rn2 / jnp.maximum(d2, 1e-12))
+        if warmup and k is not None:
+            in_warm = k < warmup
+            scale = jnp.where(in_warm, h_scale, scale)
+            rho = jnp.where(in_warm, h_rho, rho)
     elif robust == "huber":
-        scale = jnp.minimum(1.0, huber_delta / rn)
-        rho = jnp.where(
-            rn > huber_delta, huber_delta * (2.0 * rn - huber_delta), rn2
-        )
+        scale, rho = h_scale, h_rho
     else:
         raise ValueError(f"unknown robust kernel {robust!r}")
     use = huber_delta > 0.0
@@ -166,10 +181,11 @@ def _apply_update(nodes, delta):
 
 
 def _gn_step_dense(nodes, edge_i, edge_j, edge_z, edge_w, damping,
-                   huber_delta, robust):
+                   huber_delta, robust, k=None, warmup=0):
     n = nodes.shape[0]
     Hii, Hjj, B, bi, bj, cost = _edge_terms(
-        nodes, edge_i, edge_j, edge_z, edge_w, huber_delta, robust
+        nodes, edge_i, edge_j, edge_z, edge_w, huber_delta, robust,
+        k=k, warmup=warmup,
     )
     H = jnp.zeros((n, n, 6, 6), jnp.float32)
     b = jnp.zeros((n, 6), jnp.float32)
@@ -191,7 +207,8 @@ def _gn_step_dense(nodes, edge_i, edge_j, edge_z, edge_w, damping,
 
 
 def _gn_step_pcg(nodes, edge_i, edge_j, edge_z, edge_w, damping, cg_iters,
-                 huber_delta=0.0, robust="huber", axis=None):
+                 huber_delta=0.0, robust="huber", axis=None, k=None,
+                 warmup=0):
     """Sparse GN step: block-diagonal accumulation + edge-block
     matrix-free PCG.  Under shard_map (`axis` set) the edge arrays hold
     this device's shard; accumulators and the matvec's off-diagonal
@@ -199,7 +216,8 @@ def _gn_step_pcg(nodes, edge_i, edge_j, edge_z, edge_w, damping, cg_iters,
     n = nodes.shape[0]
     mm = functools.partial(jnp.matmul, precision=_HI)
     Hii, Hjj, B, bi, bj, cost = _edge_terms(
-        nodes, edge_i, edge_j, edge_z, edge_w, huber_delta, robust
+        nodes, edge_i, edge_j, edge_z, edge_w, huber_delta, robust,
+        k=k, warmup=warmup,
     )
     Hd = (
         jnp.zeros((n, 6, 6), jnp.float32)
@@ -234,31 +252,34 @@ def _gn_step_pcg(nodes, edge_i, edge_j, edge_z, edge_w, damping, cg_iters,
 
 
 def _run(step, graph, iters):
-    def body(nodes, _):
-        return step(nodes)
+    def body(nodes, k):
+        return step(nodes, k)
 
-    return jax.lax.scan(body, graph.nodes, None, length=iters)
+    return jax.lax.scan(body, graph.nodes, jnp.arange(iters))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "robust"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "robust", "warmup"))
 def _optimize_dense(graph: PoseGraph, iters: int, damping: float,
-                    huber_delta: float, robust: str):
+                    huber_delta: float, robust: str, warmup: int = 0):
     return _run(
-        lambda nodes: _gn_step_dense(
+        lambda nodes, k: _gn_step_dense(
             nodes, graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_w,
-            damping, huber_delta, robust,
+            damping, huber_delta, robust, k=k, warmup=warmup,
         ),
         graph, iters,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "cg_iters", "robust", "warmup"))
 def _optimize_pcg(graph: PoseGraph, iters: int, damping: float,
-                  cg_iters: int, huber_delta: float, robust: str):
+                  cg_iters: int, huber_delta: float, robust: str,
+                  warmup: int = 0):
     return _run(
-        lambda nodes: _gn_step_pcg(
+        lambda nodes, k: _gn_step_pcg(
             nodes, graph.edge_i, graph.edge_j, graph.edge_z, graph.edge_w,
-            damping, cg_iters, huber_delta, robust,
+            damping, cg_iters, huber_delta, robust, k=k, warmup=warmup,
         ),
         graph, iters,
     )
@@ -266,17 +287,17 @@ def _optimize_pcg(graph: PoseGraph, iters: int, damping: float,
 
 @functools.lru_cache(maxsize=None)
 def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters,
-                          huber_delta, robust):
+                          huber_delta, robust, warmup=0):
     from jax.sharding import PartitionSpec as P
 
     from cvo_rgbd_tpu.parallel.sharded import shard_map
 
     def solve(graph):
         return _run(
-            lambda nodes: _gn_step_pcg(
+            lambda nodes, k: _gn_step_pcg(
                 nodes, graph.edge_i, graph.edge_j, graph.edge_z,
                 graph.edge_w, damping, cg_iters, huber_delta, robust,
-                axis=axis,
+                axis=axis, k=k, warmup=warmup,
             ),
             graph, iters,
         )
@@ -293,7 +314,7 @@ def _compiled_pcg_sharded(mesh, axis, iters, damping, cg_iters,
 def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
              solver: str = "auto", cg_iters: int | None = None, mesh=None,
              axis: str = "sp", huber_delta: float = 0.0,
-             robust: str = "huber"):
+             robust: str = "huber", robust_warmup: int = 0):
     """Gauss-Newton; returns (optimized nodes [N,4,4], costs [iters]).
 
     solver: "dense" (exact 6Nx6N solve, O(N^2) memory), "pcg"
@@ -306,10 +327,16 @@ def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
     self-loops to a multiple of the axis size (zero weight contributes
     nothing anywhere).
 
-    `huber_delta > 0` turns on a Huber robust kernel (IRLS: edge
-    weights rescale by min(1, delta/||r||) every GN iteration), which
+    `huber_delta > 0` turns on a robust kernel (IRLS: edge weights
+    rescale from the current residual norms every GN iteration), which
     contains the damage of a wrong loop closure; 0 = exact least
-    squares (default, the historical behavior).
+    squares (default, the historical behavior).  With
+    robust="cauchy", `robust_warmup` > 0 runs the first iterations
+    under the convex Huber kernel before switching to the redescending
+    Cauchy — graduated robustification, so genuine loop corrections
+    whose initial residuals sit far above delta are pulled into their
+    basin before Cauchy's vanishing weight could freeze them out (see
+    `_edge_terms`).
     """
     n = int(graph.nodes.shape[0])
     if solver == "auto":
@@ -336,11 +363,13 @@ def optimize(graph: PoseGraph, iters: int = 10, damping: float = 1e-6,
                     [graph.edge_w, jnp.zeros(pad, jnp.float32)]),
             )
         return _compiled_pcg_sharded(mesh, axis, iters, damping,
-                                     cg_iters, huber_delta, robust)(graph)
+                                     cg_iters, huber_delta, robust,
+                                     robust_warmup)(graph)
     if solver == "dense":
-        return _optimize_dense(graph, iters, damping, huber_delta, robust)
+        return _optimize_dense(graph, iters, damping, huber_delta, robust,
+                               robust_warmup)
     return _optimize_pcg(graph, iters, damping, cg_iters, huber_delta,
-                         robust)
+                         robust, robust_warmup)
 
 
 def graph_cost(graph: PoseGraph, nodes=None):

@@ -433,15 +433,33 @@ def function_inner_product(p, cloud_a: PointCloud, cloud_b: PointCloud,
     reference semantics; defaults to `p.ell_init` (a fresh-state
     evaluation, which is what a keyframe scorer called before any align
     would see — acvo resets ell per pair, adaptive_cvo.cpp:476-485).
+
+    Linear color mode (`p.color_mode == "linear"`, MATLAB_PARAMS)
+    evaluates the mean of the MATLAB-mode A = CI .* K instead — the se
+    color kernel was never calibrated for that parameter set
+    (rkhs_se3_registration.m:40-53 vs adaptive_cvo.cpp:392); keyframe
+    scoring under MATLAB params must use the same product kernel the
+    align flow maximizes.
     """
     if ell is None:
         ell = p.ell_init
-    A = gram_mod.se_gram(
-        cloud_a.positions, cloud_a.features, cloud_a.mask,
-        cloud_b.positions, cloud_b.features, cloud_b.mask,
-        jnp.asarray(ell, jnp.float32),
-        sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
-        sp_thres=p.sp_thres, c_sp_thres=p.sp_thres,
-    )
+    if p.color_mode == "linear":
+        ci = gram_mod.linear_color_gram(
+            cloud_a.features, cloud_b.features, p.color_scale
+        )
+        A = gram_mod.matlab_gram(
+            cloud_a.positions, cloud_a.mask,
+            cloud_b.positions, cloud_b.mask,
+            ci, jnp.asarray(ell, jnp.float32),
+            sigma=p.sigma, sp_thres=p.sp_thres,
+        )
+    else:
+        A = gram_mod.se_gram(
+            cloud_a.positions, cloud_a.features, cloud_a.mask,
+            cloud_b.positions, cloud_b.features, cloud_b.mask,
+            jnp.asarray(ell, jnp.float32),
+            sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
+            sp_thres=p.sp_thres, c_sp_thres=p.sp_thres,
+        )
     n = flow_mod.nnz(A)
     return jnp.sum(A) / jnp.maximum(n, 1).astype(jnp.float32)

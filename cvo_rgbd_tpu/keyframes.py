@@ -194,6 +194,14 @@ class KeyframeSelector:
             return True, score
         return False, score
 
+    def tick(self):
+        """Advance the frame counter WITHOUT scoring — for callers that
+        process a frame but must skip the promotion check (e.g. a
+        batched-decision driver whose in-group scores went stale after
+        a mid-group promotion).  Keeps max_span promotion cadence
+        frame-accurate."""
+        self.frames_since += 1
+
     def _promote(self, index, cloud, cloud_self):
         self.key_cloud = cloud
         self.key_self = cloud_self

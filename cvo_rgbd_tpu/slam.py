@@ -103,6 +103,14 @@ class SlamConfig:
     # huber_delta=0 disables (exact LS).
     huber_delta: float = 0.3
     robust_kernel: str = "cauchy"
+    # Graduated robustification: first N GN iterations run convex Huber
+    # before switching to redescending Cauchy.  Loop edges are admitted
+    # with corrections up to loop_prior_max_m/rad ~ 1.0, so a genuine
+    # closure of large drift starts with ||r|| >> huber_delta where
+    # Cauchy's weight ~ delta^2/r^2 could suppress exactly the
+    # correction the edge carries; the Huber phase pulls the chain into
+    # the loop basin first (core.posegraph._edge_terms).
+    robust_warmup_iters: int = 5
 
 
 class KeyframeSlam:
@@ -160,20 +168,22 @@ class KeyframeSlam:
         # (this loop used to pay three separate ~25-30 ms relay RTTs
         # per frame: self fip, align fetch, score fip — docs/PERF.md)
         cross_d = inner_product_async(self.params, key.cloud, cloud)
-        rel, res_R, res_T, res_ell, cloud_self, cross = _fetch(
-            res.tf, res.R, res.T, res.ell, cloud_self_d, cross_d,
+        rel, res_R, res_T, cloud_self, cross = _fetch(
+            res.tf, res.R, res.T, cloud_self_d, cross_d,
         )
         cloud_self = float(cloud_self)
         if not np.isfinite(rel).all():
             rel = np.eye(4)  # skip-and-mark
             self._warm = None
         else:
-            from cvo_rgbd_tpu.params import AcvoParams
-
+            # warm R/T, FRESH ell — the keyframe-relative warm-start
+            # policy of _compiled_slam_step: carrying the previous
+            # pair's fully-shrunk ell starves the flow at the growing
+            # keyframe baseline (see that docstring).  Both drivers
+            # share the policy.
             self._warm = (
                 np.asarray(res_R, np.float32), np.asarray(res_T, np.float32),
-                None if isinstance(self.params, AcvoParams)
-                else np.float32(res_ell),
+                np.float32(self.params.ell_init),
             )
             self._warm_kf = kf_id
         pose = key.pose @ rel
@@ -264,7 +274,11 @@ class KeyframeSlam:
             self.frame_keyframe.append(kf_id)
             poses_out.append(pose)
             if promoted_any:
-                continue   # scores are stale vs the new keyframe
+                # scores are stale vs the new keyframe — skip the
+                # promotion check but keep the frame counter accurate
+                # so max_span-forced promotions stay frame-cadenced
+                self.selector.tick()
+                continue
             cs = float(cs)
             score = float(
                 cross / np.sqrt(float(key.self_fip) * cs + 1e-30)
@@ -362,7 +376,8 @@ class KeyframeSlam:
         graph = from_odometry(kf_poses, loop_edges=self.loop_edges)
         nodes, _ = optimize(graph, iters=self.config.optimize_iters,
                             huber_delta=self.config.huber_delta,
-                            robust=self.config.robust_kernel)
+                            robust=self.config.robust_kernel,
+                            robust_warmup=self.config.robust_warmup_iters)
         nodes = np.asarray(nodes)
         # re-anchor every frame to its (corrected) keyframe
         out = []

@@ -94,3 +94,52 @@ def test_aligned_fip_ranks_true_transform(rng):
     assert quals.shape == (3,)
     assert quals[0] > quals[1], quals
     assert quals[0] > quals[2], quals
+
+
+def test_linear_mode_keyframe_scoring(rng):
+    """function_inner_product under MATLAB_PARAMS (linear color mode)
+    must evaluate the MATLAB product kernel A = CI .* K — not the se
+    color kernel that parameter set never calibrated (VERDICT r3
+    weak 7).  Scoring semantics still hold: self-score 1, overlap
+    decays with displacement."""
+    from cvo_rgbd_tpu import MATLAB_PARAMS
+    from cvo_rgbd_tpu.core.registration import function_inner_product
+    from cvo_rgbd_tpu.core.gram import linear_color_gram, matlab_gram
+
+    base = np.random.default_rng(11)
+    pos = base.standard_normal((60, 3)).astype(np.float32) * 0.4
+    col = base.random((60, 3)).astype(np.float32) * 255.0  # MATLAB colors
+    c0 = pad_cloud(pos, col)
+
+    fip = float(function_inner_product(MATLAB_PARAMS, c0, c0))
+    assert np.isfinite(fip) and fip > 0
+
+    # oracle: mean of the gated MATLAB-mode A at ell_init
+    import jax.numpy as jnp
+    ci = linear_color_gram(c0.features, c0.features,
+                           MATLAB_PARAMS.color_scale)
+    A = matlab_gram(c0.positions, c0.mask, c0.positions, c0.mask, ci,
+                    jnp.float32(MATLAB_PARAMS.ell_init),
+                    sigma=MATLAB_PARAMS.sigma,
+                    sp_thres=MATLAB_PARAMS.sp_thres)
+    expect = float(jnp.sum(A) / jnp.maximum(jnp.sum(A > 0), 1))
+    assert abs(fip - expect) < 1e-6 * max(1.0, abs(expect))
+
+    assert abs(keyframe_score(MATLAB_PARAMS, c0, c0) - 1.0) < 1e-5
+    scores = []
+    for off in [0.0, 0.1, 0.4]:
+        moved = pad_cloud(pos + np.array([off, 0, 0], np.float32), col)
+        scores.append(keyframe_score(MATLAB_PARAMS, c0, moved))
+    assert scores[0] > scores[1] > scores[2]
+
+
+def test_selector_tick_keeps_span_cadence(rng):
+    """tick() advances frames_since without scoring, so a driver that
+    skips promotion checks mid-group still forces max_span promotions
+    at frame-accurate cadence (ADVICE r3)."""
+    sel = KeyframeSelector(P, KeyframePolicy(threshold=0.0, max_span=3))
+    c = _cloud(rng)
+    sel.update(0, c)
+    assert not sel.update_scored(1, c, 1.0, 1.0)[0]
+    sel.tick()   # frame 2 processed without scoring
+    assert sel.update_scored(3, c, 1.0, 1.0)[0]  # forced at span 3

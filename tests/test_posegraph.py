@@ -229,3 +229,69 @@ def test_robust_kernel_contains_bad_loop_edge(rng):
                         solver="pcg")
     np.testing.assert_allclose(np.asarray(n_pcg), np.asarray(n_cau),
                                atol=5e-3)
+
+
+def test_graduated_cauchy_lands_large_true_correction(rng):
+    """GOOD loop edges whose initial residuals sit far ABOVE the Cauchy
+    delta (the regime slam actually admits: corrections up to
+    loop_prior_max ~ 1.0 against huber_delta=0.3).  Pure Cauchy IRLS
+    weights such an edge ~ delta^2/r^2 << 1 from the start and can
+    equilibrate with the genuine correction suppressed; the graduated
+    schedule (`robust_warmup`: convex Huber first, Cauchy after) must
+    land the correction."""
+    n = 25
+    gt = [np.eye(4, dtype=np.float32)]
+    steps = []
+    for k in range(n - 1):
+        steps.append(_se3([0, 0, 0.02], [0.25, 0, 0]))
+        gt.append(gt[-1] @ steps[-1])
+    gt = np.stack(gt)
+
+    # heavy drift: endpoint lands far from truth, so the ground-truth
+    # loop edges open with residuals ~ 1 >> delta=0.3
+    drift = _se3([0, 0, 1.2e-2], [3e-2, 1.6e-2, 0])
+    noisy = [gt[0]]
+    for s in steps:
+        noisy.append(noisy[-1] @ s @ drift)
+    noisy = np.stack(noisy)
+
+    loops = [
+        (0, 12, np.linalg.inv(gt[0]) @ gt[12], 5.0),
+        (0, 24, np.linalg.inv(gt[0]) @ gt[24], 5.0),
+        (6, 18, np.linalg.inv(gt[6]) @ gt[18], 5.0),
+    ]
+    g = from_odometry(noisy, loop_edges=loops)
+
+    # the premise of the test: the loop residuals at the odometry
+    # initialization really are far above delta
+    from cvo_rgbd_tpu.core.posegraph import _se3_inv44
+    import jax.numpy as jnp
+
+    r0 = max(
+        float(jnp.linalg.norm(se3.log_se3(jnp.asarray(
+            np.linalg.inv(z) @ np.linalg.inv(noisy[i]) @ noisy[j],
+            np.float32))))
+        for i, j, z, _ in loops
+    )
+    assert r0 > 3 * 0.3, r0
+
+    start_err = np.linalg.norm(noisy[-1][:3, 3] - gt[-1][:3, 3])
+    n_grad, costs = optimize(g, iters=15, huber_delta=0.3,
+                             robust="cauchy", robust_warmup=5)
+    err_grad = np.linalg.norm(np.asarray(n_grad)[-1][:3, 3] - gt[-1][:3, 3])
+    # the graduated solve must actually land the loop correction
+    assert err_grad < 0.1 * start_err, (start_err, err_grad)
+
+    # and must do at least as well as cold Cauchy in this regime
+    n_cold, _ = optimize(g, iters=15, huber_delta=0.3, robust="cauchy")
+    err_cold = np.linalg.norm(np.asarray(n_cold)[-1][:3, 3] - gt[-1][:3, 3])
+    assert err_grad <= err_cold * 1.05 + 1e-4, (err_grad, err_cold)
+
+    # graduated schedule still rejects an actual outlier in the same
+    # solve: add a wrong edge and check containment
+    z_bad = _se3([0, 0, 0.5], [0.8, 0.4, 0])
+    g_bad = from_odometry(noisy, loop_edges=loops + [(2, 22, z_bad, 5.0)])
+    n_rob, _ = optimize(g_bad, iters=15, huber_delta=0.3,
+                        robust="cauchy", robust_warmup=5)
+    err_rob = np.linalg.norm(np.asarray(n_rob)[-1][:3, 3] - gt[-1][:3, 3])
+    assert err_rob < 0.15 * start_err, (start_err, err_rob)
