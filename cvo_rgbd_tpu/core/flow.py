@@ -30,15 +30,39 @@ def _cross(a, b):
 
 
 def flow(A, x_pos, y_pos, *, c, d):
-    """omega, v from dense masked A (cvo.cpp:164-210)."""
+    """omega, v from dense masked A (cvo.cpp:164-210).
+
+    DIFFERENCE-FORM reductions: the flow vanishes at convergence, so
+    the naive factored forms (col@Y - row@X for v) subtract two LARGE
+    sums whose fp32 rounding noise (~W*|y|*eps_mach, W = sum A) sits
+    around 1e-5..1e-4 at reference scale — above the C++ stopping
+    threshold eps=5e-5 (cvo.cpp:40; the reference converges because its
+    accumulators are double, cvo.cpp:171-204).  Rewriting per-i,
+
+        r_i = (A y)_i - (A 1)_i x_i = sum_j A_ij (y_j - x_i),
+
+    every r_i is a kernel-weighted sum of SMALL differences (|y_j-x_i|
+    <~ a few ell wherever A_ij > 0), so cancellation happens before the
+    big reduction: measured flow error drops from ~1e-5 to ~1e-8 at
+    N=3072 (docs/PERF.md), restoring convergence at the reference's own
+    tolerances in fp32 — no fp64 (TPUs have none) and no compensated
+    accumulation needed.  Exactly the same algebra:
+        sum_ij A_ij (y_j - x_i)   = sum_i r_i
+        sum_ij A_ij (x_i x y_j)   = sum_i x_i x r_i      (x x x = 0)
+    and the cross term is centered about the x centroid (exact for any
+    center) to shrink the per-term magnitudes further.  r_i is
+    row-local, so x-sharded / ring column-block callers (parallel/
+    sharded.py) psum partials unchanged."""
     Ay = jnp.dot(A, y_pos, preferred_element_type=jnp.float32, precision=_HI)   # [N,3]
     row = jnp.sum(A, axis=-1)                                    # A @ 1, [N]
-    col = jnp.sum(A, axis=-2)                                    # 1^T A, [M]
-    omega = jnp.sum(_cross(x_pos, Ay), axis=-2) / c
-    v = (
-        jnp.dot(col, y_pos, preferred_element_type=jnp.float32, precision=_HI)
-        - jnp.dot(row, x_pos, preferred_element_type=jnp.float32, precision=_HI)
-    ) / d
+    r = Ay - row[..., None] * x_pos                              # [N,3]
+    r_sum = jnp.sum(r, axis=-2)
+    v = r_sum / d
+    c0 = jnp.mean(x_pos, axis=-2, keepdims=True)
+    omega = (
+        jnp.sum(_cross(x_pos - c0, r), axis=-2)
+        + _cross(jnp.squeeze(c0, axis=-2), r_sum)
+    ) / c
     return omega, v
 
 

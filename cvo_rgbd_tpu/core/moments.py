@@ -57,26 +57,40 @@ def monomial_features_padded(x, width=128):
 def flow_from_moments(Mom, y_pos, c0, *, c, d):
     """(omega, v, wsq, sum_A) from the moment matrix.
 
-    Exact algebra (no approximation vs core.flow.flow):
-      sum_ij A_ij x_i        = S1'_j + S0_j c0       (x' = x - c0)
-      sum_ij A_ij (x_i x y_j) = sum_j (S1'_j + S0_j c0) x y_j
-      sum_ij A_ij |x_i-y_j|^2 = sum_j [tr S2'_j - 2 S1'_j.y'_j
-                                       + S0_j |y'_j|^2]   (y' = y - c0)
+    DIFFERENCE-FORM epilogue (same rationale as core.flow.flow — the
+    flow vanishes at convergence, so global cancellation between large
+    sums leaves an fp32 noise floor above the reference's eps=5e-5;
+    cvo.cpp:40, 171-204 converges on double accumulators).  Per-j,
+
+        r_j = S0_j y'_j - S1'_j = sum_i A_ij (y_j - x_i)   (x'=x-c0,
+                                                            y'=y-c0)
+
+    cancels INSIDE each column before the j-reduction; measured flow
+    error at N=3072 drops ~1000x to ~1e-8 (docs/PERF.md), restoring
+    convergence at the C++ tolerances with no extra precision.  Exact
+    algebra (no approximation vs core.flow.flow):
+      sum_ij A_ij (y_j - x_i)   = sum_j r_j
+      sum_ij A_ij (x_i x y_j)   = sum_j S1full_j x y_j
+                                = sum_j S1'_j x y'_j + c0 x sum_j r_j
+        (S1full = S1' + S0 c0; the c0 x c0 and (sum S1') x c0 terms
+         regroup exactly into the r_j sum)
+      sum_ij A_ij |x_i-y_j|^2   = sum_j [tr S2'_j - 2 S1'_j.y'_j
+                                         + S0_j |y'_j|^2]
     """
     S0 = Mom[:, _I000]                                        # [M]
     S1 = jnp.stack([Mom[:, _I100], Mom[:, _I010], Mom[:, _I001]], axis=1)
     S2tr = Mom[:, _I200] + Mom[:, _I020] + Mom[:, _I002]      # [M]
 
-    sy = jnp.dot(S0, y_pos, preferred_element_type=jnp.float32,
-                 precision=_HI)                               # [3]
-    cross_sum = jnp.sum(jnp.cross(S1, y_pos, axis=-1), axis=0)
-    omega = (cross_sum + jnp.cross(c0, sy)) / c
+    y_c = y_pos - c0
+    r = S0[:, None] * y_c - S1                                # [M,3]
+    r_sum = jnp.sum(r, axis=0)
+    v = r_sum / d
+    omega = (
+        jnp.sum(jnp.cross(S1, y_c, axis=-1), axis=0)
+        + jnp.cross(c0, r_sum)
+    ) / c
 
     s0_sum = jnp.sum(S0)
-    s1_sum = jnp.sum(S1, axis=0)
-    v = (sy - (s1_sum + c0 * s0_sum)) / d
-
-    y_c = y_pos - c0
     wsq = (
         jnp.sum(S2tr)
         - 2.0 * jnp.sum(S1 * y_c)

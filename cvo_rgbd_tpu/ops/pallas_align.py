@@ -498,21 +498,27 @@ def _make_kernel(p, nfeat, adaptive=False):
                 denom = jnp.where(denom == 0.0, 1.0, denom)
                 dl = (s_yy - 2.0 * s_xy + s_xx) / (ell * ell * ell) / denom
 
-            # compute_flow (cvo.cpp:164-210): masked row reductions
-            Ay0 = jnp.sum(A * ty0, axis=1, keepdims=True)     # (N,1)
-            Ay1 = jnp.sum(A * ty1, axis=1, keepdims=True)
-            Ay2 = jnp.sum(A * ty2, axis=1, keepdims=True)
+            # compute_flow (cvo.cpp:164-210), DIFFERENCE form: per-i
+            #   r_i = (A y)_i - (A 1)_i x_i = sum_j A_ij (y_j - x_i)
+            # cancels inside each row before the big reduction — the
+            # naive col@y - row@x form subtracts two large sums whose
+            # fp32 noise floor (~1e-5 at reference scale) sits above
+            # the C++ stop threshold eps=5e-5 (see core/flow.py; the
+            # reference's accumulators are double, cvo.cpp:171-204).
+            # omega = sum_i x_i x r_i exactly (x x x = 0).
             rowA = jnp.sum(A, axis=1, keepdims=True)
-            colA = jnp.sum(A, axis=0, keepdims=True)
+            r0 = jnp.sum(A * ty0, axis=1, keepdims=True) - rowA * x0  # (N,1)
+            r1 = jnp.sum(A * ty1, axis=1, keepdims=True) - rowA * x1
+            r2 = jnp.sum(A * ty2, axis=1, keepdims=True) - rowA * x2
             om = (
-                jnp.sum(x1 * Ay2 - x2 * Ay1) * inv_c,
-                jnp.sum(x2 * Ay0 - x0 * Ay2) * inv_c,
-                jnp.sum(x0 * Ay1 - x1 * Ay0) * inv_c,
+                jnp.sum(x1 * r2 - x2 * r1) * inv_c,
+                jnp.sum(x2 * r0 - x0 * r2) * inv_c,
+                jnp.sum(x0 * r1 - x1 * r0) * inv_c,
             )
             vv = (
-                (jnp.sum(colA * ty0) - jnp.sum(rowA * x0)) * inv_d,
-                (jnp.sum(colA * ty1) - jnp.sum(rowA * x1)) * inv_d,
-                (jnp.sum(colA * ty2) - jnp.sum(rowA * x2)) * inv_d,
+                jnp.sum(r0) * inv_d,
+                jnp.sum(r1) * inv_d,
+                jnp.sum(r2) * inv_d,
             )
 
             # compute_step_size (cvo.cpp:213-308): derivative fields by

@@ -135,14 +135,22 @@ def exp_sek3_np(w, v, dt):
     return R, Jl @ v
 
 
-def align_oracle(xp, xf, yp, yf, p, max_iter=None, trace=False):
-    """Returns (tf [4,4], iters).  Dense float64, np.roots step solver."""
+def align_oracle(xp, xf, yp, yf, p, max_iter=None, trace=False,
+                 R0=None, T0=None, ell0=None, return_state=False):
+    """Returns (tf [4,4], iters).  Dense float64, np.roots step solver.
+
+    `R0`/`T0`/`ell0` seed the internal state exactly like
+    core.registration.align (the reference's across-pair R/T/ell
+    persistence, cvo.cpp:43-45, 398-399); `return_state=True` appends
+    (R, T, ell) to the return so a chained odometry oracle can carry
+    the warm state the way run_odometry does."""
     from scipy.linalg import logm
 
     xp = xp.astype(np.float64); xf = xf.astype(np.float64)
     yp0 = yp.astype(np.float64); yf = yf.astype(np.float64)
-    R = np.eye(3); T = np.zeros(3)
-    ell = p.ell_init
+    R = np.eye(3) if R0 is None else np.asarray(R0, np.float64)
+    T = np.zeros(3) if T0 is None else np.asarray(T0, np.float64)
+    ell = p.ell_init if ell0 is None else float(ell0)
     max_iter = max_iter or p.max_iter
     tf = np.eye(4)
     rows = []
@@ -189,4 +197,30 @@ def align_oracle(xp, xf, yp, yf, p, max_iter=None, trace=False):
         for thresh, val in p.ell_sched:
             if k > thresh:
                 ell = val
-    return (tf, k, rows) if trace else (tf, k)
+    out = (tf, k, rows) if trace else (tf, k)
+    return out + ((R, T, ell),) if return_state else out
+
+
+def odometry_oracle(clouds, p, warm_start=True):
+    """Chain align_oracle over a cloud sequence with the production
+    driver's warm-start semantics (odometry.run_odometry: the
+    reference's persistent R/T/ell members, cvo.cpp:43-45, 398-399) —
+    the float64 cross-implementation of a full odometry run.
+
+    `clouds`: list of (positions [N,3], features [N,F]) valid-point
+    arrays.  Returns (accum_poses [n,4,4], iters list)."""
+    accum = np.eye(4)
+    poses = [accum.copy()]
+    iters = []
+    warm = (None, None, None)
+    for (xp, xf), (yp, yf) in zip(clouds[:-1], clouds[1:]):
+        tf, k, (R, T, ell) = align_oracle(
+            xp, xf, yp, yf, p,
+            R0=warm[0], T0=warm[1], ell0=warm[2], return_state=True,
+        )
+        if warm_start:
+            warm = (R, T, ell)
+        accum = accum @ tf
+        poses.append(accum.copy())
+        iters.append(k)
+    return np.stack(poses), iters

@@ -14,11 +14,15 @@ Drift over a hundred-plus chained pairs is observed here for the first
 time: frame-to-frame odometry accumulates ~2-3 cm ATE over the 160
 frames, keyframe SLAM halves it, and loop closure halves it again.
 
-Stopping tolerances: the C++ eps=5e-5 flow threshold sits below the
-two-scan noise floor at these cloud sizes (iteration counts hit the cap
-without improving the pose — see bench.py's reference_scale study), so
-sequence tests run the MATLAB tolerances (eps=5e-4, eps_2=1e-4,
-rkhs_se3_registration.m:18-19) with the C++ "se" kernel parameters.
+Stopping tolerances: sequence tests run the MATLAB set (eps=5e-4,
+eps_2=1e-4, rkhs_se3_registration.m:18-19) with the C++ "se" kernel
+parameters — for RUNTIME, not reachability: since round 4 the
+difference-form flow epilogues (core/flow.py) make the C++ 5e-5/1e-5
+stops converge in fp32 (tests/test_oracle_traj.py runs a chain at
+them; bench.py's ref_tolerance block measures 64 reference-scale
+pairs), but they roughly double iteration counts, and the measured
+pose delta between the two stop sets is sub-mm (bench
+pose_delta_vs_matlab_stop_mm).
 Calibration (this fixture): cvo ATE 0.0275, RPE 0.033/0.020; SLAM raw
 0.0218 -> solved 0.0109 (16 loop edges); acvo(40) 0.0115; batched(100)
 0.0353.
