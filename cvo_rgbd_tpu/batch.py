@@ -73,10 +73,18 @@ def run_batch(
     t0 = time.perf_counter()
     handles = {}
     errors = {}
+    from cvo_rgbd_tpu.slam import _compiled_cloud_ok
+
+    ok_fn = _compiled_cloud_ok(64)
     for i in range(1, n):
         try:
             res = align_jit(params, padded[i - 1], padded[i])
-            handles[i] = (res.tf, res.iterations)
+            # input-sanity flag rides the same drain (cloud_ok): a
+            # degenerate cloud converges to a silent identity, which
+            # the MATLAB runner's try/catch would instead record as a
+            # NaN failure (rgbddataset_rkhs.m:75-80)
+            okd = ok_fn(padded[i - 1]) & ok_fn(padded[i])
+            handles[i] = (res.tf, res.iterations, okd)
         except Exception as e:  # skip-and-mark (rgbddataset_rkhs.m:75-80)
             errors[i] = str(e)
     import jax
@@ -89,9 +97,9 @@ def run_batch(
         if i in errors:
             status = f"FAILED ({errors[i]})"
         else:
-            tf, its = drained[i]
-            if not np.isfinite(tf).all():
-                status = "FAILED (non-finite transform)"
+            tf, its, okv = drained[i]
+            if not (bool(okv) and np.isfinite(tf).all()):
+                status = "FAILED (non-finite transform or degenerate cloud)"
             else:
                 results[i] = tf
                 status = f"iters={int(its)}"

@@ -98,3 +98,25 @@ def transform_cloud(R, t, positions):
         )
         + t[..., None, :]
     )
+
+
+def cloud_ok(cloud: PointCloud, min_valid: int = 64):
+    """Jit-traceable input-sanity flag for a (possibly lane-batched)
+    cloud: enough valid points AND finite positions in the valid slots.
+
+    This is the driver-level failure detector the MATLAB batch runner
+    gets from its try/catch (rgbddataset_rkhs.m:49-81 — an empty or
+    corrupt cloud errors the solve there and records NaN): the align
+    loop itself is total (an empty/garbage cloud gates every kernel
+    entry off and converges to identity at iteration 0), so without
+    this check a total sensor dropout would silently chain an identity
+    relative pose instead of firing skip-and-mark.
+
+    Batched clouds ([B,N,...]) reduce per lane -> [B] bools.
+    """
+    valid = cloud.mask > 0
+    n = jnp.sum(valid, axis=-1)
+    fin = jnp.all(
+        jnp.isfinite(cloud.positions) | ~valid[..., None], axis=(-1, -2)
+    )
+    return (n >= min_valid) & fin

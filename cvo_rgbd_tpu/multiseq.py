@@ -26,17 +26,28 @@ from cvo_rgbd_tpu.core.cloud import stack_clouds as _stack
 
 
 @_ft.lru_cache(maxsize=None)
-def _compiled_lane_post(adaptive: bool, ell_init: float):
+def _compiled_lane_post(adaptive: bool, ell_init: float, min_valid: int = 64):
     """Jitted per-lane warm-state update: a failed lane resets to cold
     (skip-and-mark, like run_odometry), a good lane carries its R/T/ell
     (acvo resets ell per pair, adaptive_cvo.cpp:475).  Runs ON DEVICE
     so the lockstep chain never waits for a step's result before
-    dispatching the next one (see odometry._compiled_odom_step)."""
+    dispatching the next one (see odometry._compiled_odom_step).
+
+    Lane failure = non-finite transform OR degenerate input clouds
+    (core.cloud.cloud_ok); retired lanes' all-masked placeholders fail
+    the validity test too, which is harmless — their results are never
+    written."""
     import jax
     import jax.numpy as jnp
 
-    def post(tf, R, T, ell):
-        ok = jnp.isfinite(tf).all(axis=(1, 2))
+    from cvo_rgbd_tpu.core.cloud import cloud_ok
+
+    def post(tf, R, T, ell, fixed_b, moving_b):
+        ok = (
+            jnp.isfinite(tf).all(axis=(1, 2))
+            & cloud_ok(fixed_b, min_valid)
+            & cloud_ok(moving_b, min_valid)
+        )
         Rw = jnp.where(ok[:, None, None], R, jnp.eye(3, dtype=jnp.float32))
         Tw = jnp.where(ok[:, None], T, jnp.zeros((), jnp.float32))
         if adaptive:
@@ -58,6 +69,7 @@ def run_multiseq(
     mesh=None,
     warm_start=True,
     fetch_every=4,
+    min_valid=64,
     log=print,
 ):
     """Run odometry on several TUM folders in lockstep.
@@ -115,7 +127,7 @@ def run_multiseq(
     warm_R = np.broadcast_to(np.eye(3, dtype=np.float32), (S, 3, 3)).copy()
     warm_T = np.zeros((S, 3), np.float32)
     warm_ell = np.full((S,), params.ell_init, np.float32)
-    post = _compiled_lane_post(adaptive, float(params.ell_init))
+    post = _compiled_lane_post(adaptive, float(params.ell_init), min_valid)
     pending = []   # (step, tfs_device, ok_device) awaiting one fetch
 
     def flush():
@@ -167,12 +179,13 @@ def run_multiseq(
                     dict(R0=warm_R, T0=warm_T, ell0=warm_ell)
                     if warm_start else {}
                 )
-                res = align_batched(params, _stack(prev_clouds), _stack(clouds),
-                                    mesh=mesh, **kw)
+                fb, mb = _stack(prev_clouds), _stack(clouds)
+                res = align_batched(params, fb, mb, mesh=mesh, **kw)
                 # warm chain stays ON DEVICE; results are fetched in
                 # batches of `fetch_every` steps so the dispatch
                 # pipeline never stalls on the relay round-trip
-                ok_d, Rw, Tw, ellw = post(res.tf, res.R, res.T, res.ell)
+                ok_d, Rw, Tw, ellw = post(res.tf, res.R, res.T, res.ell,
+                                          fb, mb)
                 if warm_start:
                     warm_R, warm_T = Rw, Tw
                     if not adaptive:

@@ -40,7 +40,7 @@ def _fetch(*arrays):
 
 
 @_ft.lru_cache(maxsize=None)
-def _compiled_odom_step(params, adaptive: bool):
+def _compiled_odom_step(params, adaptive: bool, min_valid: int = 64):
     """Jitted align + on-device warm-start bookkeeping for one pair.
 
     The sequential odometry chain needs NOTHING from the device between
@@ -59,12 +59,20 @@ def _compiled_odom_step(params, adaptive: bool):
     import jax.numpy as jnp
 
     from cvo_rgbd_tpu import align
+    from cvo_rgbd_tpu.core.cloud import cloud_ok
 
     ell_init = np.float32(params.ell_init)
 
     def step(fixed, moving, R0, T0, ell0):
         res = align(params, fixed, moving, R0, T0, ell0)
-        finite = jnp.isfinite(res.tf).all()
+        # failure = non-finite result OR degenerate input (empty /
+        # corrupt cloud on either side — the align loop is total and
+        # would otherwise chain a silent identity, see cloud_ok)
+        finite = (
+            jnp.isfinite(res.tf).all()
+            & cloud_ok(fixed, min_valid)
+            & cloud_ok(moving, min_valid)
+        )
         # failure resets the warm state to cold (identity / ell_init)
         Rw = jnp.where(finite, res.R, jnp.eye(3, dtype=jnp.float32))
         Tw = jnp.where(finite, res.T, jnp.zeros(3, jnp.float32))
@@ -192,9 +200,15 @@ def run_odometry(
     use_native=True,
     warm_start=True,
     fetch_every=8,
+    min_valid=64,
     log=print,
 ):
     """Run the full odometry loop.  Returns list[FrameRecord].
+
+    `min_valid`: pairs whose clouds carry fewer valid points (or any
+    non-finite valid position) are marked failed (skip-and-mark) —
+    the driver-level analog of the MATLAB runner's try/catch NaN
+    (rgbddataset_rkhs.m:49-81); see core.cloud.cloud_ok.
 
     `dataset_seq` selects camera intrinsics (int or name, see
     frontend.camera).  `adaptive` picks acvo (feature_type 0 + adaptive
@@ -243,7 +257,7 @@ def run_odometry(
 
     records: list[FrameRecord] = []
     fixed_cloud = None
-    step_fn = _compiled_odom_step(params, adaptive)
+    step_fn = _compiled_odom_step(params, adaptive, min_valid)
     # device-resident (R0, T0, ell0) for the next pair; explicit cold
     # values keep warm and cold on ONE compiled signature
     cold = (

@@ -27,6 +27,15 @@ import numpy as np
 
 from cvo_rgbd_tpu import align_jit
 from cvo_rgbd_tpu.odometry import _fetch
+
+
+@_ft.lru_cache(maxsize=None)
+def _compiled_cloud_ok(min_valid: int):
+    import jax
+
+    from cvo_rgbd_tpu.core.cloud import cloud_ok
+
+    return jax.jit(_ft.partial(cloud_ok, min_valid=min_valid))
 from cvo_rgbd_tpu.core.posegraph import from_odometry, optimize
 from cvo_rgbd_tpu.keyframes import (
     KeyframePolicy,
@@ -38,7 +47,7 @@ from cvo_rgbd_tpu.keyframes import (
 
 
 @_ft.lru_cache(maxsize=None)
-def _compiled_slam_step(params, adaptive: bool):
+def _compiled_slam_step(params, adaptive: bool, min_valid: int = 64):
     """Jitted per-frame slam work: align vs the keyframe + the
     self/cross inner products the promotion decision needs, with the
     on-device warm-reset of odometry._compiled_odom_step.  Lets
@@ -47,13 +56,14 @@ def _compiled_slam_step(params, adaptive: bool):
     import jax.numpy as jnp
 
     from cvo_rgbd_tpu import align
+    from cvo_rgbd_tpu.core.cloud import cloud_ok
     from cvo_rgbd_tpu.core.registration import function_inner_product
 
     ell_init = np.float32(params.ell_init)
 
     def step(key_cloud, cloud, R0, T0, ell0):
         res = align(params, key_cloud, cloud, R0, T0, ell0)
-        finite = jnp.isfinite(res.tf).all()
+        finite = jnp.isfinite(res.tf).all() & cloud_ok(cloud, min_valid)
         Rw = jnp.where(finite, res.R, jnp.eye(3, dtype=jnp.float32))
         Tw = jnp.where(finite, res.T, jnp.zeros(3, jnp.float32))
         # warm R/T, FRESH ell: keyframe-relative pairs have growing
@@ -93,6 +103,10 @@ class SlamConfig:
     # true loop to be missed)
     loop_prior_max_m: float = 1.0
     loop_prior_max_rad: float = 1.0
+    # input-sanity gate (core.cloud.cloud_ok): frames with fewer valid
+    # points, or non-finite positions, are skip-and-marked and can
+    # never be promoted to keyframes
+    min_valid: int = 64
     optimize_iters: int = 15
     # Robust kernel for the pose-graph solve (core.posegraph): a wrong
     # loop closure that slips past the correction gates down-weights
@@ -143,6 +157,7 @@ class KeyframeSlam:
         # loop-closure search for promoted keyframes — dispatch it (no
         # blocking fetch yet) so it rides the same transfer as the align
         cloud_self_d = inner_product_async(self.params, cloud, cloud)
+        ok_d = _compiled_cloud_ok(self.config.min_valid)(cloud)
         if not self.keyframes:
             pose = np.eye(4)
             cloud_self = float(cloud_self_d)
@@ -168,12 +183,16 @@ class KeyframeSlam:
         # (this loop used to pay three separate ~25-30 ms relay RTTs
         # per frame: self fip, align fetch, score fip — docs/PERF.md)
         cross_d = inner_product_async(self.params, key.cloud, cloud)
-        rel, res_R, res_T, cloud_self, cross = _fetch(
-            res.tf, res.R, res.T, cloud_self_d, cross_d,
+        rel, res_R, res_T, cloud_self, cross, ok = _fetch(
+            res.tf, res.R, res.T, cloud_self_d, cross_d, ok_d,
         )
         cloud_self = float(cloud_self)
-        if not np.isfinite(rel).all():
-            rel = np.eye(4)  # skip-and-mark
+        failed = not (bool(ok) and np.isfinite(rel).all())
+        if failed:
+            # skip-and-mark: carry the PREVIOUS FRAME's pose (for a
+            # keyframe-relative driver, rel=identity would snap back to
+            # the keyframe's pose — a spurious jump, not continuity)
+            rel = np.linalg.inv(key.pose) @ self.frame_poses[-1]
             self._warm = None
         else:
             # warm R/T, FRESH ell — the keyframe-relative warm-start
@@ -189,6 +208,13 @@ class KeyframeSlam:
         pose = key.pose @ rel
         self.frame_poses.append(pose)
         self.frame_keyframe.append(len(self.keyframes) - 1)
+
+        if failed:
+            # a degenerate frame must never become a keyframe (its
+            # zero overlap score would force exactly that); keep the
+            # span counter frame-accurate and move on
+            self.selector.tick()
+            return pose
 
         score = float(
             cross / np.sqrt(float(key.self_fip) * cloud_self + 1e-30)
@@ -236,7 +262,8 @@ class KeyframeSlam:
         if not items:
             return poses_out
 
-        step = _compiled_slam_step(self.params, adaptive)
+        step = _compiled_slam_step(self.params, adaptive,
+                                   self.config.min_valid)
         key = self.keyframes[-1]
         kf_id = len(self.keyframes) - 1
         if self._warm is not None and self._warm_kf == kf_id:
@@ -268,11 +295,17 @@ class KeyframeSlam:
             pend, fetched
         ):
             if not bool(fin):
-                rel = np.eye(4)   # skip-and-mark
+                # skip-and-mark: carry the previous frame's pose (see
+                # the same branch in process)
+                rel = np.linalg.inv(key.pose) @ self.frame_poses[-1]
             pose = key.pose @ np.asarray(rel, np.float64)
             self.frame_poses.append(pose)
             self.frame_keyframe.append(kf_id)
             poses_out.append(pose)
+            if not bool(fin):
+                # degenerate frame: never promote it (see process)
+                self.selector.tick()
+                continue
             if promoted_any:
                 # scores are stale vs the new keyframe — skip the
                 # promotion check but keep the frame counter accurate

@@ -180,13 +180,79 @@ class BandScene:
         return rgb, depth
 
 
+@dataclasses.dataclass
+class Degradation:
+    """Kinect-like sensor degradation for the synthetic renderer.
+
+    The reference ingests REAL sensor data: quantized noisy depth with
+    holes and texture-poor frames — that is what the Canny top-up
+    refill exists for (pcd_generator.cpp:135-163) and why the MATLAB
+    batch runner records NaN on failed pairs (rgbddataset_rkhs.m:49-81).
+    A noise-free synthetic world never exercises either path; this
+    model does.  All effects are deterministic per (seed, frame).
+
+    - `depth_noise`: per-pixel Gaussian depth noise with the Kinect
+      disparity-quantization scaling sigma_z = depth_noise * z^2
+      (Khoshelham & Elberink 2012 measure ~1.4e-3 * z^2 m for the
+      Kinect-1 TUM sensor; the default 2e-3 is slightly worse).
+    - `dropout`: fraction of DEPTH pixels zeroed in smooth blobs
+      (invalid-return holes, like specular/oblique surfaces).
+    - `low_texture_frames`: frame indices whose RGB contrast is crushed
+      by `low_texture_scale` — the DSO selector's gradient histograms
+      starve and the block-distributed refill (the Canny top-up analog,
+      frontend/selector.py) must fill the quota.
+    - `drop_frames`: frame indices with depth fully zeroed (total
+      sensor dropout): the frontend yields an empty cloud and the
+      drivers' skip-and-mark failure path must fire.
+    """
+
+    depth_noise: float = 2e-3
+    dropout: float = 0.0
+    low_texture_frames: tuple = ()
+    low_texture_scale: float = 0.04
+    drop_frames: tuple = ()
+    seed: int = 0
+
+    def apply(self, i, rgb, depth):
+        """Degrade one rendered frame (returns new rgb, depth)."""
+        r = np.random.default_rng(self.seed * 100003 + i)
+        if i in self.low_texture_frames:
+            rgb = 128.0 + (rgb - 128.0) * self.low_texture_scale
+        if self.depth_noise > 0:
+            valid = depth > 0
+            depth = np.where(
+                valid,
+                depth + r.normal(size=depth.shape) * self.depth_noise
+                * depth * depth,
+                0.0,
+            )
+            depth = np.clip(depth, 0.0, None)  # negative = invalid (0)
+        if self.dropout > 0:
+            # smooth blob holes: threshold band-limited noise at the
+            # dropout quantile (correlated invalid-return regions, not
+            # salt-and-pepper)
+            from scipy.ndimage import gaussian_filter
+
+            field = gaussian_filter(
+                r.normal(size=depth.shape), 3.0, mode="wrap"
+            )
+            depth = np.where(
+                field < np.quantile(field, self.dropout), 0.0, depth
+            )
+        if i in self.drop_frames:
+            depth = np.zeros_like(depth)
+        return rgb, depth
+
+
 def make_tum_dataset(root, path: CameraPath, scene: BandScene | None = None,
-                     start_time=200.0, frame_dt=0.1):
+                     start_time=200.0, frame_dt=0.1,
+                     degrade: Degradation | None = None):
     """Render `path` into a TUM-layout dataset folder at `root`.
 
     Writes rgb/<t>.png (8-bit), depth/<t>.png (16-bit, camera depth
     scale), assoc.txt, groundtruth.txt.  Returns (scene, poses) where
-    poses is [n,4,4] camera-to-world ground truth.
+    poses is [n,4,4] camera-to-world ground truth.  `degrade` applies
+    the sensor-degradation model per frame before writing.
     """
     from PIL import Image
 
@@ -202,6 +268,8 @@ def make_tum_dataset(root, path: CameraPath, scene: BandScene | None = None,
         for i in range(path.n_frames):
             R, c = scene.pose(path, i)
             rgb, depth = scene.render(R, c)
+            if degrade is not None:
+                rgb, depth = degrade.apply(i, rgb, depth)
             t = start_time + frame_dt * i
             name = f"{t:.6f}"
             Image.fromarray(rgb.astype(np.uint8)).save(
