@@ -194,12 +194,13 @@ def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60,
         (x_c, xf, xm, y_c, yf, ym, phi, ck_xy), rest = args[:8], args[8:]
 
         def body(ell, _):
-            Mom, nnz = fused_moments(
+            Mom, resid, nnz, wsq = fused_moments(
                 x_c, xf, xm, y_c, yf, ym, phi, ell, ck_xy, p=params,
             )
             # feed a kernel output into the next ell: serializes the
             # scan and keeps every sweep live
-            out = ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz
+            out = (ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz
+                   + 1e-12 * resid[0, 0] + 1e-12 * wsq)
             if adaptive:
                 x_pos, y_pos, ck_xx, ck_yy = rest
                 wxx, nxx = fused_wsq(x_pos, xf, xm, x_pos, xf, xm, ell,
@@ -252,12 +253,15 @@ def bench_reference_scale():
     RTT-robust) and roofline attainment vs the MEASURED isolated
     single-pass-kernel floor.
 
-    Stopping tolerances are the MATLAB set (eps=5e-4, eps_2=1e-4,
-    rkhs_se3_registration.m:18-19), disclosed: at N=3000 the C++ flow
-    threshold of 5e-5 sits below the two-scan noise floor — lanes hit
-    any iteration cap with NO pose improvement beyond ~iteration 40
-    (round-2 bench measured mean 190.2/200 with 5/64 converged and the
-    same mm-level pose error this bench now asserts)."""
+    The HEADLINE blocks run the MATLAB stopping set (eps=5e-4,
+    eps_2=1e-4, rkhs_se3_registration.m:18-19) for round-over-round
+    comparability; since round 4 the difference-form flow epilogues
+    (core/flow.py) make the C++ shipped stops (5e-5/1e-5) reachable in
+    fp32, and the `ref_tolerance` block below measures exactly that —
+    including the pose delta the MATLAB override costs (median
+    sub-mm), which is what justifies keeping it in the long sequence
+    benches where the ~2x iteration count would dominate wall time."""
+    import dataclasses
     import functools
 
     import jax
@@ -332,6 +336,52 @@ def bench_reference_scale():
         "tolerances (disclosed in bench_reference_scale), single-pass "
         "Pallas moment backend, batch-64 vmap"
     )
+
+    # --- convergence at the reference's OWN shipped tolerances -------
+    # (VERDICT r3 item 2): eps=5e-5, eps_2=1e-5 (cvo.cpp:40-41).  The
+    # difference-form flow epilogues (core/flow.py, core/moments.py)
+    # push the fp32 flow noise floor to ~1e-8 at N=3072, so the same 64
+    # pairs now converge at the C++ stops — the float64 oracle needs 66
+    # iterations on this workload, fp32 lands within a few of that.
+    rt = {"eps": 5e-5, "eps_2": 1e-5}
+    for tag, make_params, hsv in (
+        ("cvo", lambda: CvoParams(backend="pallas", max_iter=400), False),
+        ("acvo", lambda: AcvoParams(backend="pallas", max_iter=400), True),
+    ):
+        fixed, moving, truth = synth_reference_scale(hsv_scale=hsv)
+        fb, mb = stack_clouds(fixed), stack_clouds(moving)
+        p = make_params()  # C++ defaults: eps=5e-5, eps_2=1e-5
+        fn = jax.jit(jax.vmap(functools.partial(align, p)))
+        res = fn(fb, mb)
+        jax.block_until_ready(res.tf)
+        t0 = time.perf_counter()
+        res = fn(fb, mb)
+        jax.block_until_ready(res.tf)
+        dt = time.perf_counter() - t0
+        iters = np.asarray(res.iterations)
+        terr, rerr = _pose_errors(res.tf, truth)
+        # pose equivalence of the MATLAB-stop override on the SAME
+        # pairs: where the headline blocks (and the sequence benches,
+        # for runtime) still use eps=5e-4/1e-4, this measures the pose
+        # delta that override actually costs vs the C++ stops
+        pm = dataclasses.replace(p, eps=5e-4, eps_2=1e-4)
+        res_m = jax.jit(jax.vmap(functools.partial(align, pm)))(fb, mb)
+        delta_mm, delta_mrad = _pose_errors(res_m.tf, np.asarray(res.tf,
+                                                                 np.float64))
+        rt[tag] = {
+            "converged": int(np.sum(np.asarray(res.converged))),
+            "pairs": len(fixed),
+            "mean_iterations": round(float(np.mean(iters)), 1),
+            "max_iterations": int(np.max(iters)),
+            "median_translation_mm": round(float(np.median(terr)), 2),
+            "median_rotation_mrad": round(float(np.median(rerr)), 2),
+            "fps": round(len(fixed) / dt, 1),
+            "pose_delta_vs_matlab_stop_mm": round(
+                float(np.median(delta_mm)), 2),
+            "pose_delta_vs_matlab_stop_mrad": round(
+                float(np.median(delta_mrad)), 2),
+        }
+    out["ref_tolerance"] = rt
     return out
 
 
@@ -645,6 +695,33 @@ def bench_sequence_full(n_frames=573, period=33):
                 "slam.refine_map docstring)",
             }
 
+        # acvo SLAM at the same scale (VERDICT r3 item 5): the adaptive
+        # variant's per-pair ell reset (adaptive_cvo.cpp:475) changes
+        # warm-start and loop-closure dynamics; measured with the
+        # feature_type-0 frontend (adaptive_cvo.cpp:451) + AcvoParams
+        # through the batched-decision driver.
+        frontend_a = make_frontend(1, 1024, 0)
+        slam_a = KeyframeSlam(
+            pa, SlamConfig(keyframe=KeyframePolicy(max_span=8))
+        )
+        t0 = time.perf_counter()
+        buf = []
+        for i, e in enumerate(entries):
+            buf.append((i, frontend_a(*load_image_pair(root, e))))
+            if len(buf) >= 8:
+                slam_a.process_batch(buf)
+                buf = []
+        if buf:
+            slam_a.process_batch(buf)
+        raw_a2 = ate_rmse(
+            gt, {names[i]: slam_a.frame_poses[i] for i in range(n_frames)}
+        )
+        solved_a, _ = slam_a.solve()
+        dt_slam_a = time.perf_counter() - t0
+        sol_a = ate_rmse(
+            gt, {names[i]: solved_a[i] for i in range(n_frames)}
+        )
+
         # batched-decision SLAM: one device fetch per 8-frame group
         # (slam.process_batch) — poses stay exact per frame, promotion
         # decisions land at group cadence
@@ -697,6 +774,15 @@ def bench_sequence_full(n_frames=573, period=33):
                 "wall_s": round(dt_slam, 1),
                 "bundle_adjustment": ba_block,
             },
+            "slam_acvo": {
+                "keyframes": len(slam_a.keyframes),
+                "loop_edges": len(slam_a.loop_edges),
+                "ate_rmse_raw_m": round(raw_a2["rmse"], 4),
+                "ate_rmse_solved_m": round(sol_a["rmse"], 4),
+                "wall_s": round(dt_slam_a, 1),
+                "mode": "AcvoParams + feature_type-0 frontend, batched-"
+                "decision driver (process_batch, group 8)",
+            },
             "slam_batched_decisions": {
                 "group": 8,
                 "keyframes": len(slam_b.keyframes),
@@ -715,6 +801,162 @@ def bench_sequence_full(n_frames=573, period=33):
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_oracle_traj(n_frames=16, num_want=512):
+    """Sequence-scale oracle trajectory parity (VERDICT r3 item 3): the
+    production fp32 driver's accumulated trajectory vs an INDEPENDENT
+    float64 numpy oracle (tests/oracle.py, a literal dense
+    transcription of cvo.cpp:99-308) chained with the same warm-start
+    semantics — the cross-implementation redundancy the reference
+    itself relies on (SURVEY.md section 4 item 3), at the chain scale
+    where fp32 drift would show.  Run at the C++ shipped tolerances."""
+    import shutil
+    import sys
+    import tempfile
+
+    from cvo_rgbd_tpu import CvoParams
+    from cvo_rgbd_tpu.frontend import make_frontend
+    from cvo_rgbd_tpu.io.tum import load_assoc, read_trajectory
+    from cvo_rgbd_tpu.odometry import load_image_pair, run_odometry
+    from cvo_rgbd_tpu.synth import make_tum_dataset, revisit_path
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    from oracle import odometry_oracle
+
+    root = tempfile.mkdtemp(prefix="cvo_oracle_traj_")
+    try:
+        make_tum_dataset(root, revisit_path(n_frames, period=33))
+        p = CvoParams(max_iter=300)  # C++ stops: eps=5e-5, eps_2=1e-5
+        out = os.path.join(root, "parity.txt")
+        run_odometry(root, 1, params=p, num_want=num_want, output=out,
+                     log=lambda *a: None)
+        est = read_trajectory(out)
+
+        entries = load_assoc(os.path.join(root, "assoc.txt"))
+        frontend = make_frontend(1, num_want, 1)
+        raw = []
+        for e in entries:
+            c = frontend(*load_image_pair(root, e))
+            m = np.asarray(c.mask) > 0
+            raw.append((np.asarray(c.positions)[m],
+                        np.asarray(c.features)[m]))
+        oracle_poses, oracle_iters = odometry_oracle(raw, p)
+        names = [float(e.name) for e in entries]
+        errs = [
+            float(np.linalg.norm(est[names[i]][:3, 3]
+                                 - oracle_poses[i][:3, 3])) * 1e3
+            for i in range(n_frames)
+        ]
+        return {
+            "frames": n_frames,
+            "oracle_traj_err_mm": round(max(errs), 3),
+            "final_err_mm": round(errs[-1], 3),
+            "oracle_mean_iters": round(float(np.mean(oracle_iters)), 1),
+            "tolerances": "C++ shipped (eps=5e-5, eps_2=1e-5)",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_degraded(n_frames=100, drop_frame=50):
+    """Degraded-sensor sequence (VERDICT r3 item 4): Kinect-model depth
+    noise + correlated dropout holes + periodic low-texture frames + one
+    TOTAL dropout frame, through the production sequential driver.  The
+    failure path must FIRE (failed_pairs = the two pairs touching the
+    blind frame) and the run must recover (bounded ATE)."""
+    import shutil
+    import tempfile
+
+    from cvo_rgbd_tpu import CvoParams
+    from cvo_rgbd_tpu.evaluation import ate_rmse
+    from cvo_rgbd_tpu.io.tum import read_trajectory
+    from cvo_rgbd_tpu.odometry import run_odometry
+    from cvo_rgbd_tpu.synth import Degradation, make_tum_dataset, revisit_path
+
+    root = tempfile.mkdtemp(prefix="cvo_degraded_")
+    try:
+        deg = Degradation(
+            depth_noise=2e-3, dropout=0.08,
+            low_texture_frames=tuple(range(12, n_frames, 25)),
+            drop_frames=(drop_frame,), seed=3,
+        )
+        make_tum_dataset(root, revisit_path(n_frames, period=33),
+                         degrade=deg)
+        gt = read_trajectory(os.path.join(root, "groundtruth.txt"))
+        p = CvoParams(eps=5e-4, eps_2=1e-4)
+        t0 = time.perf_counter()
+        recs = run_odometry(root, 1, params=p, num_want=1024,
+                            log=lambda *a: None)
+        dt = time.perf_counter() - t0
+        est = read_trajectory(os.path.join(root, "cvo_poses_qt.txt"))
+        stats = ate_rmse(gt, est)
+        return {
+            "frames": n_frames,
+            "failed_pairs": int(sum(r.failed for r in recs)),
+            "failed_indices": [r.index for r in recs if r.failed],
+            "ate_rmse_m": round(stats["rmse"], 4),
+            "mean_iterations": round(
+                float(np.mean([r.iterations for r in recs])), 1),
+            "wall_s": round(dt, 1),
+            "mode": "depth noise sigma=2e-3*z^2, 8% correlated dropout "
+            "holes, low-texture frames every 25, total dropout at frame "
+            f"{drop_frame} (skip-and-mark must fire on its two pairs)",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def comms_model():
+    """Collective-payload model per align iteration for each parallel
+    mode (VERDICT r3 item 7) — the analytic bridge from the flat-
+    resource CPU-mesh plumbing numbers to expected efficiency on real
+    ICI.  Derivation in docs/PERF.md (comms model section); v5e numbers:
+    ~45 GB/s/direction/link ICI, ~1 us small-allreduce latency/hop,
+    measured single-chip tile-pass floor ~190 us at N=M=3072."""
+    n = m = 3072
+    f32 = 4
+    floor_us = 190.0                      # measured (bench roofline)
+    lat_us = 1.0                          # per-hop small-collective
+    for_devs = (4, 8, 16)
+
+    # sp_shard: x sharded, y replicated; per iteration psums of
+    # omega(3) v(3) B..E(4) [+ dl terms for acvo] = ~16 f32 scalars in
+    # ~8 latency-bound psum calls; one x all_gather at setup only.
+    sp_bytes = 16 * f32
+    sp_psums = 8
+    # ring: y circulates in blocks; per sweep every device forwards its
+    # M/n block x (3 pos + 5 feat + 1 mask) f32 through n-1 hops; two
+    # sweeps per iteration (flow, then omega-dependent step).
+    ring_bytes_per_iter = 2 * m * 9 * f32     # total cycled per device
+    # dp: no per-iteration collectives (independent pairs).
+    out = {
+        "sp_shard": {
+            "psum_bytes_per_iter": sp_bytes,
+            "psum_calls_per_iter": sp_psums,
+            "pred_eff": {},
+        },
+        "ring": {
+            "ppermute_bytes_per_iter_per_dev": ring_bytes_per_iter,
+            "pred_eff": {},
+        },
+        "dp": {"bytes_per_iter": 0, "pred_eff": {d: 1.0 for d in for_devs}},
+        "assumptions": "v5e ICI 45 GB/s/dir/link, 1 us/hop latency, "
+        "measured 190 us single-chip tile pass at N=M=3072; "
+        "eff = t_comp/N / (t_comp/N + t_comms); derivation docs/PERF.md",
+    }
+    for d in for_devs:
+        comp = floor_us / d
+        t_sp = sp_psums * lat_us * 2  # ~2 hops avg on a ring of <=16
+        out["sp_shard"]["pred_eff"][d] = round(comp / (comp + t_sp), 2)
+        # ring hop: block transfer time + latency, n-1 hops/sweep,
+        # overlappable with the block's compute in a tuned kernel —
+        # modeled UNOVERLAPPED (pessimistic)
+        blk_bytes = (m // d) * 9 * f32
+        t_ring = 2 * (d - 1) * (blk_bytes / 45e9 * 1e6 + lat_us)
+        out["ring"]["pred_eff"][d] = round(comp / (comp + t_ring), 2)
+    return out
 
 
 def bench_scaling():
@@ -844,10 +1086,17 @@ def main():
     fps = 1.0 / per_pair
     warm_lockstep = bench_warm_lockstep(clouds)
     ref_scale = bench_reference_scale()
+    ref_tol = ref_scale.pop("ref_tolerance")
+    oracle_traj = bench_oracle_traj()
+    degraded = bench_degraded()
     sequence = bench_sequence()
     sequence_full = bench_sequence_full()
     scaling = bench_scaling()
     full = {
+        "ref_tolerance": ref_tol,
+        "oracle_traj": oracle_traj,
+        "degraded": degraded,
+        "comms_model": comms_model(),
         "metric": "fr1desk_pair_registration_rate_batched",
         "value": round(fps, 3),
         "unit": "frames/s",
@@ -977,9 +1226,28 @@ def compact_line(full):
             "kf": sa["keyframes"], "loops": sa["loop_edges"],
             "raw_m": sa["ate_rmse_raw_m"], "solved_m": sa["ate_rmse_solved_m"],
         }
-    for k in ("ref_tolerance", "oracle_traj", "degraded", "comms_model"):
-        if k in full:
-            c[k] = full[k]
+    if "ref_tolerance" in full:
+        rt = full["ref_tolerance"]
+        c["ref_tol"] = {"eps": rt["eps"], "eps_2": rt["eps_2"]}
+        for t in ("cvo", "acvo"):
+            if t in rt:
+                c["ref_tol"][t] = {
+                    "conv": f'{rt[t]["converged"]}/{rt[t]["pairs"]}',
+                    "it": rt[t]["mean_iterations"],
+                    "t_mm": rt[t]["median_translation_mm"],
+                }
+    if "oracle_traj" in full:
+        c["oracle_traj_err_mm"] = full["oracle_traj"]["oracle_traj_err_mm"]
+    if "degraded" in full:
+        d = full["degraded"]
+        c["degraded"] = {"frames": d["frames"], "fail": d["failed_pairs"],
+                         "ate_m": d["ate_rmse_m"]}
+    if "comms_model" in full:
+        cm = full["comms_model"]
+        c["comms_pred_eff_8dev"] = {
+            "sp": cm["sp_shard"]["pred_eff"][8],
+            "ring": cm["ring"]["pred_eff"][8],
+        }
     return c
 
 

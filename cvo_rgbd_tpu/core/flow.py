@@ -52,9 +52,21 @@ def flow(A, x_pos, y_pos, *, c, d):
     and the cross term is centered about the x centroid (exact for any
     center) to shrink the per-term magnitudes further.  r_i is
     row-local, so x-sharded / ring column-block callers (parallel/
-    sharded.py) psum partials unchanged."""
-    Ay = jnp.dot(A, y_pos, preferred_element_type=jnp.float32, precision=_HI)   # [N,3]
+    sharded.py) psum partials unchanged.
+
+    A y is computed as VPU row reductions (elementwise multiply +
+    sum), NOT as an MXU matmul: measured on real TPU hardware, the
+    [N,M]x[M,3] dot even at Precision.HIGHEST leaves |flow| floored
+    ~3e-4 at N=3072 (vs ~1e-8 from the same code on CPU BLAS) — the
+    narrow-RHS matmul's effective accumulation precision is far below
+    fp32, and r_i inherits it before the cancellation.  The row
+    reductions are exact fp32 and XLA fuses each into one pass over
+    A."""
     row = jnp.sum(A, axis=-1)                                    # A @ 1, [N]
+    Ay = jnp.stack(
+        [jnp.sum(A * y_pos[..., None, :, k], axis=-1) for k in range(3)],
+        axis=-1,
+    )                                                            # [N,3]
     r = Ay - row[..., None] * x_pos                              # [N,3]
     r_sum = jnp.sum(r, axis=-2)
     v = r_sum / d

@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cvo_rgbd_tpu.core.numerics import exp_neg
+
 # bf16 MXU passes (the TPU default for fp32 matmuls) put a ~1e-3
 # relative noise floor on the distance/reduction contractions, which
 # breaks the Gram symmetry cancellations and leaves a mm-level pose
@@ -30,15 +32,26 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def pairwise_sqdist(x, y):
-    """[N,d],[M,d] -> [N,M] squared distances via the MXU.
+    """[N,d],[M,d] -> [N,M] squared distances, DIFFERENCE form.
 
     Matches rkhs_se3_registration.m:68-69 (the MATLAB dense spec).
+
+    Computed per component as (x_k - y_k)^2 — NOT as the expanded
+    |x|^2 + |y|^2 - 2 x.y matmul: with |pos|^2 up to ~16 m^2 and
+    kernel-relevant d2 down at ell^2 ~ 1e-3, the expanded form's fp32
+    cancellation leaves ~1e-6 m^2 absolute noise, which the exponent's
+    1/(2 ell^2) = 556 turns into ~4e-5 relative noise on every Gram
+    entry — measured on TPU, that roughness floors the align flow at
+    ~2.5e-4 and blocks the reference's eps=5e-5 stop (docs/PERF.md).
+    The difference form subtracts nearby coordinates FIRST (exact at
+    fp32), then squares; three fused elementwise passes instead of one
+    matmul — the Pallas kernels already do it this way (_pair_tile).
     """
-    x2 = jnp.sum(x * x, axis=-1)
-    y2 = jnp.sum(y * y, axis=-1)
-    xy = jnp.dot(x, y.T, preferred_element_type=jnp.float32, precision=_HI)
-    d2 = x2[..., :, None] + y2[..., None, :] - 2.0 * xy
-    return jnp.maximum(d2, 0.0)
+    d2 = None
+    for k in range(x.shape[-1]):
+        dk = x[..., :, None, k] - y[..., None, :, k]
+        d2 = dk * dk if d2 is None else d2 + dk * dk
+    return d2
 
 
 def se_gram(
@@ -70,8 +83,11 @@ def se_gram(
     d2 = pairwise_sqdist(x_pos, y_pos)
     d2c = pairwise_sqdist(x_feat, y_feat)
 
-    k = s2 * jnp.exp(-d2 / (2.0 * ell * ell))
-    ck = cs2 * jnp.exp(-d2c / (2.0 * c_ell * c_ell))
+    # exp_neg, not jnp.exp: hardware exp's ~1e-6 error flips
+    # gate membership as the pose moves and stalls convergence
+    # at reference scale (core/numerics.py)
+    k = s2 * exp_neg(d2 / (2.0 * ell * ell))
+    ck = cs2 * exp_neg(d2c / (2.0 * c_ell * c_ell))
     a = k * ck
 
     gate = (
@@ -98,7 +114,7 @@ def matlab_gram(x_pos, x_mask, y_pos, y_mask, ci, ell, *, sigma, sp_thres):
     (rkhs_se3_registration.m:125-127)."""
     s2 = sigma * sigma
     d2 = pairwise_sqdist(x_pos, y_pos)
-    k = s2 * jnp.exp(-d2 / (2.0 * ell * ell))
+    k = s2 * exp_neg(d2 / (2.0 * ell * ell))
     gate = (
         (k >= sp_thres)
         & (x_mask[..., :, None] > 0)

@@ -100,7 +100,7 @@ def make_align_step(p, adaptive: bool):
         from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
         from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
         from cvo_rgbd_tpu.core.moments import (
-            flow_from_moments, step_from_moments,
+            flow_from_residuals, step_from_moments,
         )
 
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
@@ -125,14 +125,12 @@ def make_align_step(p, adaptive: bool):
             # (core/moments.py) — the reference's two nnz(A) traversals
             # (cvo.cpp:164-308) collapse into one pass.
             c0, x_c, phi = moments_pre
-            Mom, nnz_xy = fused_moments(
+            Mom, resid, nnz_xy, wsq_xy = fused_moments(
                 x_c, fixed.features, fixed.mask,
                 y_pos - c0, moving.features, moving.mask,
                 phi, state.ell, ck_xy, p=p,
             )
-            omega, v, wsq_xy, _ = flow_from_moments(
-                Mom, y_pos, c0, c=p.c, d=p.d
-            )
+            omega, v = flow_from_residuals(resid, x_c, c0, c=p.c, d=p.d)
             if adaptive:
                 # self-kernels only feed the dl reduction — lean sweeps
                 # (adaptive_cvo.cpp:156-160, 222-271)
@@ -204,8 +202,17 @@ def make_align_step(p, adaptive: bool):
         stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)
 
         dR, dT = se3.exp_sek3(omega, v, step)
-        R_new = jnp.where(stop1, state.R, state.R @ dR)
-        T_new = jnp.where(stop1, state.T, state.R @ dT + state.T)
+        # pinned matmuls: the bf16-default R @ dR chain is rough enough
+        # on TPU to stall contraction above the 5e-5 stop (se3.py note)
+        _hi = jax.lax.Precision.HIGHEST
+        R_new = jnp.where(
+            stop1, state.R, jnp.matmul(state.R, dR, precision=_hi)
+        )
+        T_new = jnp.where(
+            stop1, state.T,
+            jnp.matmul(state.R, dT[..., None], precision=_hi)[..., 0]
+            + state.T,
+        )
 
         # stop 2: se3 distance, AFTER the update (cvo.cpp:402)
         stop2 = se3.dist_se3(dR, dT) < p.eps_2

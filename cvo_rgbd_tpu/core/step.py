@@ -30,15 +30,16 @@ from cvo_rgbd_tpu.se3 import skew
 def step_coefficients(A, x_pos, y_pos, omega, v, ell):
     """B, C, D, E of the quartic objective (cvo.cpp:213-289)."""
     w_hat = skew(omega)
-    w2 = w_hat @ w_hat
-    w3 = w2 @ w_hat
-    w4 = w3 @ w_hat
+    _mm = lambda a, b: jnp.matmul(a, b, precision=_HI)  # noqa: E731
+    w2 = _mm(w_hat, w_hat)
+    w3 = _mm(w2, w_hat)
+    w4 = _mm(w3, w_hat)
 
     # per-j derivative fields [M,3] (cvo.cpp:226-238)
     xiz = jnp.cross(jnp.broadcast_to(omega, y_pos.shape), y_pos, axis=-1) + v
-    xi2z = jnp.matmul(y_pos, w2.T, precision=_HI) + (w_hat @ v)
-    xi3z = jnp.matmul(y_pos, w3.T, precision=_HI) + (w2 @ v)
-    xi4z = jnp.matmul(y_pos, w4.T, precision=_HI) + (w3 @ v)
+    xi2z = jnp.matmul(y_pos, w2.T, precision=_HI) + _mm(w_hat, v[..., None])[..., 0]
+    xi3z = jnp.matmul(y_pos, w3.T, precision=_HI) + _mm(w2, v[..., None])[..., 0]
+    xi4z = jnp.matmul(y_pos, w4.T, precision=_HI) + _mm(w3, v[..., None])[..., 0]
 
     normxiz2 = jnp.sum(xiz * xiz, axis=-1)                     # [M]
     xiz_dot_xi2z = -jnp.sum(xiz * xi2z, axis=-1)               # [M]

@@ -189,15 +189,16 @@ def affine_forms(y_field, y_pair, omega, v, ell):
     from cvo_rgbd_tpu.se3 import skew
 
     w_hat = skew(omega)
-    w2 = w_hat @ w_hat
-    w3 = w2 @ w_hat
-    w4 = w3 @ w_hat
+    _mm = lambda a, b: jnp.matmul(a, b, precision=_HI)  # noqa: E731
+    w2 = _mm(w_hat, w_hat)
+    w3 = _mm(w2, w_hat)
+    w4 = _mm(w3, w_hat)
 
     xiz = jnp.cross(jnp.broadcast_to(omega, y_field.shape), y_field,
                     axis=-1) + v
-    xi2z = jnp.matmul(y_field, w2.T, precision=_HI) + (w_hat @ v)
-    xi3z = jnp.matmul(y_field, w3.T, precision=_HI) + (w2 @ v)
-    xi4z = jnp.matmul(y_field, w4.T, precision=_HI) + (w3 @ v)
+    xi2z = jnp.matmul(y_field, w2.T, precision=_HI) + _mm(w_hat, v[..., None])[..., 0]
+    xi3z = jnp.matmul(y_field, w3.T, precision=_HI) + _mm(w2, v[..., None])[..., 0]
+    xi4z = jnp.matmul(y_field, w4.T, precision=_HI) + _mm(w3, v[..., None])[..., 0]
 
     normxiz2 = jnp.sum(xiz * xiz, axis=-1)
     xzx2 = -jnp.sum(xiz * xi2z, axis=-1)

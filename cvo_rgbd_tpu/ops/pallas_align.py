@@ -49,6 +49,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cvo_rgbd_tpu.core.numerics import exp_neg
+
 from cvo_rgbd_tpu.core.step_factored import M_INDEX, Poly
 from cvo_rgbd_tpu.ops.pallas_gram import _auto_interpret
 
@@ -411,7 +413,7 @@ def _make_kernel(p, nfeat, adaptive=False):
             d2c = (xf[0] - yf[0]) ** 2
             for f in range(1, nfeat):
                 d2c = d2c + (xf[f] - yf[f]) ** 2
-            ck = cs2 * jnp.exp(-d2c * inv2cl2)
+            ck = cs2 * exp_neg(d2c * inv2cl2)
             bmask = bmask & (d2c < d2_c_thres)
             ci = None
 
@@ -436,8 +438,8 @@ def _make_kernel(p, nfeat, adaptive=False):
             for f in range(1, nfeat):
                 d2c_xx = d2c_xx + (xf[f] - xfr[f]) ** 2
                 d2c_yy = d2c_yy + (yfc[f] - yf[f]) ** 2
-            ck_xx = cs2 * jnp.exp(-d2c_xx * inv2cl2)
-            ck_yy = cs2 * jnp.exp(-d2c_yy * inv2cl2)
+            ck_xx = cs2 * exp_neg(d2c_xx * inv2cl2)
+            ck_yy = cs2 * exp_neg(d2c_yy * inv2cl2)
             bmask_xx = (xm > 0) & (xmr > 0) & (d2c_xx < d2_c_thres)
             bmask_yy = (ymc > 0) & (ym > 0) & (d2c_yy < d2_c_thres)
 
@@ -467,7 +469,7 @@ def _make_kernel(p, nfeat, adaptive=False):
             # se_kernel (cvo.cpp:99-161 / rkhs_se3_registration.m:125-127)
             d2 = (x0 - ty0) ** 2 + (x1 - ty1) ** 2 + (x2 - ty2) ** 2
             inv2l2 = 1.0 / (2.0 * ell * ell)
-            kmat = s2 * jnp.exp(-d2 * inv2l2)
+            kmat = s2 * exp_neg(d2 * inv2l2)
             if linear:
                 gate = (kmat >= sp_thres) & bmask
                 A = jnp.where(gate, ci * kmat, 0.0)
@@ -482,10 +484,10 @@ def _make_kernel(p, nfeat, adaptive=False):
             # transform-invariant self-distance tiles
             if adaptive:
                 d2t = thres_c * ell * ell
-                a_xx = s2 * jnp.exp(-d2xx * inv2l2) * ck_xx
+                a_xx = s2 * exp_neg(d2xx * inv2l2) * ck_xx
                 gate_xx = (d2xx < d2t) & (a_xx > sp_thres) & bmask_xx
                 Axx = jnp.where(gate_xx, a_xx, 0.0)
-                a_yy = s2 * jnp.exp(-d2yy * inv2l2) * ck_yy
+                a_yy = s2 * exp_neg(d2yy * inv2l2) * ck_yy
                 gate_yy = (d2yy < d2t) & (a_yy > sp_thres) & bmask_yy
                 Ayy = jnp.where(gate_yy, a_yy, 0.0)
                 s_xy = jnp.sum(A * d2)

@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cvo_rgbd_tpu.core.numerics import exp_neg
+
 # preferred row/col tile sizes; capacities that are multiples of 128 but
 # not 256 fall back to 128-tiles (pad_cloud guarantees 128-alignment)
 def _tile(n):
@@ -95,7 +97,7 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
         return d * d
 
     d2 = psq(x0, y0) + psq(x1, y1) + psq(x2, y2)
-    k = s2 * jnp.exp(-d2 * inv_2l2)
+    k = s2 * exp_neg(d2 * inv_2l2)
 
     if linear:
         gate = k >= sp_thres
@@ -109,7 +111,7 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
     d2c = psq(xf[0], yf[0])
     for c in range(1, 5):
         d2c = d2c + psq(xf[c], yf[c])
-    ck = cs2 * jnp.exp(-d2c * inv_2cl2)
+    ck = cs2 * exp_neg(d2c * inv_2cl2)
     a = k * ck
     gate = (
         (d2 < d2_thres)
@@ -150,19 +152,21 @@ def _flow_body(s_ref, refs, use_ck, linear=False):
     (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
     (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
-    # Ay components as masked row reductions (no rank-1 dots)
-    Ay0 = jnp.sum(A * y0, axis=1, keepdims=True)   # (TI,1)
-    Ay1 = jnp.sum(A * y1, axis=1, keepdims=True)
-    Ay2 = jnp.sum(A * y2, axis=1, keepdims=True)
+    # difference-form flow residuals (see core/flow.py: the factored
+    # col@y - row@x form's fp32 cancellation noise blocks the C++
+    # eps=5e-5 stop at reference scale); r cancels per row before any
+    # big reduction.  omega = sum x_i x r_i exactly (x x x = 0).
     row = jnp.sum(A, axis=1, keepdims=True)        # (TI,1)
-    col = jnp.sum(A, axis=0, keepdims=True)        # (1,TJ)
+    r0 = jnp.sum(A * y0, axis=1, keepdims=True) - row * x0
+    r1 = jnp.sum(A * y1, axis=1, keepdims=True) - row * x1
+    r2 = jnp.sum(A * y2, axis=1, keepdims=True) - row * x2
 
-    om0 = jnp.sum(x1 * Ay2 - x2 * Ay1)
-    om1 = jnp.sum(x2 * Ay0 - x0 * Ay2)
-    om2 = jnp.sum(x0 * Ay1 - x1 * Ay0)
-    v0 = jnp.sum(col * y0) - jnp.sum(row * x0)
-    v1 = jnp.sum(col * y1) - jnp.sum(row * x1)
-    v2 = jnp.sum(col * y2) - jnp.sum(row * x2)
+    om0 = jnp.sum(x1 * r2 - x2 * r1)
+    om1 = jnp.sum(x2 * r0 - x0 * r2)
+    om2 = jnp.sum(x0 * r1 - x1 * r0)
+    v0 = jnp.sum(r0)
+    v1 = jnp.sum(r1)
+    v2 = jnp.sum(r2)
 
     wsq = jnp.sum(A * d2)
     nnz = jnp.sum((A > 0).astype(jnp.float32))
@@ -321,7 +325,7 @@ def _color_kernel(s_ref, *refs):
     for c in range(1, 5):
         d = xf[c] - yf[c]
         d2c = d2c + d * d
-    ck = cs2 * jnp.exp(-d2c * inv_2cl2)
+    ck = cs2 * exp_neg(d2c * inv_2cl2)
     gate = (d2c < d2_c_thres) & (xm > 0) & (ym > 0)
     out_ref[:, :] = jnp.where(gate, ck, 0.0)
 

@@ -101,8 +101,14 @@ def _integrate(p, state, omega, v, step, adaptive, dl):
     """Shared tail of the loop body: stops, exp update, ell update."""
     stop1 = (jnp.linalg.norm(omega) < p.eps) & (jnp.linalg.norm(v) < p.eps)
     dR, dT = se3.exp_sek3(omega, v, step)
-    R_new = jnp.where(stop1, state.R, state.R @ dR)
-    T_new = jnp.where(stop1, state.T, state.R @ dT + state.T)
+    # pinned (see core/registration.py / se3.py: bf16-default 3x3
+    # matmuls stall contraction above the 5e-5 stop on TPU)
+    _hi = jax.lax.Precision.HIGHEST
+    R_new = jnp.where(stop1, state.R, jnp.matmul(state.R, dR, precision=_hi))
+    T_new = jnp.where(
+        stop1, state.T,
+        jnp.matmul(state.R, dT[..., None], precision=_hi)[..., 0] + state.T,
+    )
     stop2 = se3.dist_se3(dR, dT) < p.eps_2
     converged = stop1 | stop2
     if adaptive:
@@ -149,19 +155,29 @@ def _make_sharded_inner(p, axis, adaptive):
             tf = se3.make_se3(tf_R, tf_T)
             yp = transform_cloud(tf_R, tf_T, yp0)
 
+            # PACKED collectives: the iteration has exactly two data
+            # dependencies on cross-shard sums (flow before the
+            # omega-dependent line search), so all partial reductions
+            # ride TWO psum calls instead of up to eleven.  Small
+            # psums are pure latency on real ICI (~2 us/call, see the
+            # comms model in docs/PERF.md), so packing them is the
+            # single biggest lever on sp-sharded per-iteration time.
             A = _se_gram(p, xp, xf, xm, yp, yf, ym, state.ell)
             om_l, v_l = flow_mod.flow(A, xp, yp, c=p.c, d=p.d)
-            omega = jax.lax.psum(om_l, axis)
-            v = jax.lax.psum(v_l, axis)
 
             if adaptive:
                 Axx = _se_gram(p, xp, xf, xm, xp_full, xf_full, xm_full, state.ell)
                 Ayy = _se_gram(p, yp, yf, ym, yp, yf, ym, state.ell)
+                pack_l = (
+                    om_l, v_l,
+                    flow_mod.weighted_sqdist_sum(A, xp, yp),
+                    flow_mod.weighted_sqdist_sum(Axx, xp, xp_full),
+                    flow_mod.nnz(Axx),
+                    flow_mod.nnz(A),
+                )
+                omega, v, s_xy, s_xx, nnz_xx, nnz_xy = jax.lax.psum(
+                    pack_l, axis)
                 ell3 = state.ell ** 3
-                s_xy = jax.lax.psum(
-                    flow_mod.weighted_sqdist_sum(A, xp, yp), axis)
-                s_xx = jax.lax.psum(
-                    flow_mod.weighted_sqdist_sum(Axx, xp, xp_full), axis)
                 if p.yy_quirk:
                     m = yp.shape[-2]
                     keep = (jnp.arange(m) >= num_fixed).astype(Ayy.dtype)
@@ -170,14 +186,11 @@ def _make_sharded_inner(p, axis, adaptive):
                     Ayy_eff = Ayy
                 s_yy = flow_mod.weighted_sqdist_sum(Ayy_eff, yp, yp)  # replicated
                 numer = (s_yy - 2.0 * s_xy + s_xx) / ell3
-                denom = (
-                    jax.lax.psum(flow_mod.nnz(Axx), axis)
-                    + flow_mod.nnz(Ayy)
-                    - 2 * jax.lax.psum(flow_mod.nnz(A), axis)
-                )
+                denom = nnz_xx + flow_mod.nnz(Ayy) - 2 * nnz_xy
                 denom = jnp.where(denom == 0, 1, denom).astype(numer.dtype)
                 dl = numer / denom
             else:
+                omega, v = jax.lax.psum((om_l, v_l), axis)
                 dl = jnp.zeros((), jnp.float32)
 
             # moment-factored on the local block (one MXU matmul per
@@ -187,10 +200,7 @@ def _make_sharded_inner(p, axis, adaptive):
             Bl, Cl, Dl, El = step_coefficients_factored(
                 A, xp, yp, omega, v, state.ell
             )
-            B = jax.lax.psum(Bl, axis)
-            C = jax.lax.psum(Cl, axis)
-            D = jax.lax.psum(Dl, axis)
-            E = jax.lax.psum(El, axis)
+            B, C, D, E = jax.lax.psum((Bl, Cl, Dl, El), axis)
             step = _step_from_coeffs(p, B, C, D, E)
 
             new = _integrate(p, state, omega, v, step, adaptive, dl)
@@ -345,8 +355,11 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                  jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
                 y_payload, flow_blk,
             )
-            omega = jax.lax.psum(om, axis)
-            v = jax.lax.psum(vv, axis)
+            # packed collectives (see _make_sharded_inner): omega/v are
+            # first needed by the omega-dependent sweep 2, so the
+            # adaptive path defers them into ONE psum with the dl
+            # partials after sweep 1b — two psum calls per iteration
+            # total in either variant.
 
             if adaptive:
                 # sweep 1b: self-kernel partials.  Rows stay resident
@@ -381,19 +394,17 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                      jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
                     (xp, xf, xm) + y_payload, adapt_blk,
                 )
-                numer = (
-                    jax.lax.psum(syy, axis)
-                    - 2.0 * jax.lax.psum(sxy, axis)
-                    + jax.lax.psum(sxx, axis)
-                ) / state.ell ** 3
-                denom = (
-                    jax.lax.psum(nxx, axis)
-                    + jax.lax.psum(nyy, axis)
-                    - 2 * jax.lax.psum(nxy, axis)
+                omega, v, sxy_g, sxx_g, syy_g, nxx_g, nyy_g, nxy_g = (
+                    jax.lax.psum(
+                        (om, vv, sxy, sxx, syy, nxx, nyy, nxy), axis
+                    )
                 )
+                numer = (syy_g - 2.0 * sxy_g + sxx_g) / state.ell ** 3
+                denom = nxx_g + nyy_g - 2 * nxy_g
                 denom = jnp.where(denom == 0, 1, denom).astype(numer.dtype)
                 dl = numer / denom
             else:
+                omega, v = jax.lax.psum((om, vv), axis)
                 dl = jnp.zeros((), jnp.float32)
 
             # sweep 2: line-search coefficients

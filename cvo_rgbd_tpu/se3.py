@@ -23,7 +23,21 @@ behavior; see `exp_sek3`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# EVERY matmul in the SE(3) algebra is precision-pinned: on TPU the
+# default lowers 3x3 products to bf16 MXU passes, and that roughness in
+# the R @ dR update chain alone is enough to stall the align loop's
+# contraction at reference scale in a |flow| ~ 3e-4 limit cycle, above
+# the reference's eps=5e-5 stop — measured on-chip: with bf16-default
+# small matmuls 1/8 pairs converge at the C++ tolerances; with every
+# matmul pinned, 8/8 in 60 iterations (the float64 oracle needs 66).
+# See docs/PERF.md, "Converging at the reference's own tolerances".
+import functools as _functools
+
+_mm = _functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
 
 # Small-angle guard, matches reference TOLERANCE (LieGroup.cpp:18).
 TOLERANCE = 1e-6
@@ -75,7 +89,7 @@ def exp_so3(w):
     w = jnp.asarray(w)
     th_s, th2, small = _safe_theta(w)
     A = skew(w)
-    A2 = A @ A
+    A2 = _mm(A, A)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), A.shape)
     s = jnp.sin(th_s) / th_s
     c = (1.0 - jnp.cos(th_s)) / (th_s * th_s)
@@ -90,7 +104,7 @@ def left_jacobian_so3(w):
     w = jnp.asarray(w)
     th_s, th2, small = _safe_theta(w)
     A = skew(w)
-    A2 = A @ A
+    A2 = _mm(A, A)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), A.shape)
     a = (1.0 - jnp.cos(th_s)) / (th_s * th_s)
     b = (th_s - jnp.sin(th_s)) / (th_s**3)
@@ -104,7 +118,7 @@ def left_jacobian_inv_so3(w):
     w = jnp.asarray(w)
     th_s, th2, small = _safe_theta(w)
     A = skew(w)
-    A2 = A @ A
+    A2 = _mm(A, A)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), A.shape)
     # 1/t^2 - (1+cos t)/(2 t sin t); Taylor -> 1/12 + t^2/720
     c = 1.0 / (th_s * th_s) - (1.0 + jnp.cos(th_s)) / (
@@ -134,7 +148,7 @@ def exp_se3(xi):
     xi = jnp.asarray(xi)
     w, u = xi[..., :3], xi[..., 3:]
     R = exp_so3(w)
-    t = (left_jacobian_so3(w) @ u[..., None])[..., 0]
+    t = (_mm(left_jacobian_so3(w), u[..., None]))[..., 0]
     return make_se3(R, t)
 
 
@@ -142,7 +156,7 @@ def log_se3(X):
     """SE(3) log, [...,4,4] -> [...,6] (LieGroup.cpp:128-136)."""
     X = jnp.asarray(X)
     w = log_so3(X[..., :3, :3])
-    u = (left_jacobian_inv_so3(w) @ X[..., :3, 3:4])[..., 0]
+    u = (_mm(left_jacobian_inv_so3(w), X[..., :3, 3:4]))[..., 0]
     return jnp.concatenate([w, u], axis=-1)
 
 
@@ -162,7 +176,7 @@ def make_se3(R, t):
 def se3_inv(R, t):
     """[R', -R't] — the reference's `update_tf` (cvo.cpp:83-87)."""
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -(Rt @ t[..., None])[..., 0]
+    return Rt, -(_mm(Rt, t[..., None]))[..., 0]
 
 
 def exp_sek3(omega, v, dt):
@@ -180,7 +194,7 @@ def exp_sek3(omega, v, dt):
     v = jnp.asarray(v)
     th_s, th2_raw, small = _safe_theta(omega)
     A = skew(omega)
-    A2 = A @ A
+    A2 = _mm(A, A)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), A.shape)
     th2 = th_s * th_s
     st = jnp.sin(dt * th_s)
@@ -194,7 +208,7 @@ def exp_sek3(omega, v, dt):
     )
     R = jnp.where(small[..., None, None], eye, R)
     Jl = jnp.where(small[..., None, None], eye, Jl)  # reference quirk (see docstring)
-    dT = (Jl @ v[..., None])[..., 0]
+    dT = (_mm(Jl, v[..., None]))[..., 0]
     return R, dT
 
 
@@ -205,7 +219,7 @@ def dist_se3(R, t):
     u = Jl^{-1}(w) t — closed form replacing Eigen's generic `.log()`.
     """
     w = log_so3(R)
-    u = (left_jacobian_inv_so3(w) @ jnp.asarray(t)[..., None])[..., 0]
+    u = (_mm(left_jacobian_inv_so3(w), jnp.asarray(t)[..., None]))[..., 0]
     return jnp.sqrt(
         2.0 * jnp.sum(w * w, axis=-1) + jnp.sum(u * u, axis=-1)
     )
@@ -218,7 +232,7 @@ def adjoint_se3(X):
     p = X[..., :3, 3]
     z = jnp.zeros_like(R)
     top = jnp.concatenate([R, z], axis=-1)
-    bot = jnp.concatenate([skew(p) @ R, R], axis=-1)
+    bot = jnp.concatenate([_mm(skew(p), R), R], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
 
@@ -249,9 +263,9 @@ def left_jacobian_se3(xi):
 
     Q = (
         0.5 * Rx
-        + b(c1) * (Px @ Rx + Rx @ Px + Px @ Rx @ Px)
-        - b(c2) * (Px @ Px @ Rx + Rx @ Px @ Px - 3.0 * (Px @ Rx @ Px))
-        - b(c3) * (Px @ Rx @ Px @ Px + Px @ Px @ Rx @ Px)
+        + b(c1) * (_mm(Px, Rx) + _mm(Rx, Px) + _mm(Px, _mm(Rx, Px)))
+        - b(c2) * (_mm(Px, _mm(Px, Rx)) + _mm(Rx, _mm(Px, Px)) - 3.0 * _mm(Px, _mm(Rx, Px)))
+        - b(c3) * (_mm(Px, _mm(Rx, _mm(Px, Px))) + _mm(Px, _mm(Px, _mm(Rx, Px))))
     )
     Q = jnp.where(small[..., None, None], 0.5 * Rx, Q)
     z = jnp.zeros_like(J)
