@@ -1084,31 +1084,21 @@ def main():
     per_pair_seq = float(np.median(times))
     per_pair = float(np.median(batched_times))
     fps = 1.0 / per_pair
-    warm_lockstep = bench_warm_lockstep(clouds)
-    ref_scale = bench_reference_scale()
-    ref_tol = ref_scale.pop("ref_tolerance")
-    oracle_traj = bench_oracle_traj()
-    degraded = bench_degraded()
-    sequence = bench_sequence()
-    sequence_full = bench_sequence_full()
-    scaling = bench_scaling()
+
+    # Full verbose record -> disk; stdout gets compact lines only (the
+    # round-3 12 KB line overflowed the driver's 2,000-char stdout tail
+    # and the round's artifact recorded parsed:null — VERDICT r3
+    # item 1).  A snapshot prints after EVERY heavy leg so a mid-run
+    # kill still leaves a complete parseable line in the tail; the
+    # final line supersedes the earlier ones.
     full = {
-        "ref_tolerance": ref_tol,
-        "oracle_traj": oracle_traj,
-        "degraded": degraded,
-        "comms_model": comms_model(),
         "metric": "fr1desk_pair_registration_rate_batched",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps * MATLAB_MEAN_S_PER_PAIR, 2),
         "fps_sequential": round(1.0 / per_pair_seq, 3),
         "fps_batched": round(fps, 3),
-        "fps_multiseq_warm": warm_lockstep["fps"],
-        "warm_lockstep": warm_lockstep,
-        "reference_scale": ref_scale,
-        "sequence": sequence,
-        "sequence_573": sequence_full,
-        "scaling": scaling,
+        "comms_model": comms_model(),
         "pose_err_vs_stored_matlab": {
             "max_translation_mm": round(max(trans_err_mm), 2),
             "max_rotation_mrad": round(max(rot_err_mrad), 2),
@@ -1140,18 +1130,40 @@ def main():
             "(stored registration_time, fr1/desk)",
         },
     }
-    # Full verbose record -> disk; stdout gets ONE compact line (the
-    # round-3 12 KB line overflowed the driver's 2,000-char stdout tail
-    # and the round's artifact recorded parsed:null — VERDICT r3 item 1).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as f:
-        json.dump(full, f, indent=1)
-    print(json.dumps(compact_line(full), separators=(",", ":")))
+
+    def checkpoint():
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+        print(json.dumps(compact_line(full), separators=(",", ":")),
+              flush=True)
+
+    checkpoint()
+    warm_lockstep = bench_warm_lockstep(clouds)
+    full["fps_multiseq_warm"] = warm_lockstep["fps"]
+    full["warm_lockstep"] = warm_lockstep
+    checkpoint()
+    ref_scale = bench_reference_scale()
+    full["ref_tolerance"] = ref_scale.pop("ref_tolerance")
+    full["reference_scale"] = ref_scale
+    checkpoint()
+    full["oracle_traj"] = bench_oracle_traj()
+    full["degraded"] = bench_degraded()
+    checkpoint()
+    full["sequence"] = bench_sequence()
+    checkpoint()
+    full["sequence_573"] = bench_sequence_full()
+    checkpoint()
+    full["scaling"] = bench_scaling()
+    checkpoint()
 
 
 def compact_line(full):
     """Headline scalars only, guaranteed << 2000 chars; prose and
-    per-pair arrays live in bench_full.json."""
+    per-pair arrays live in bench_full.json.  Tolerates missing
+    sections: main() prints a snapshot after every heavy leg so a
+    mid-run kill still leaves the driver's stdout tail a complete,
+    parseable line with everything measured so far."""
 
     def _ref(b):
         pe = b["pose_err_vs_truth"]
@@ -1166,31 +1178,36 @@ def compact_line(full):
         }
         return out
 
-    seq = full["sequence"]
-    s573 = full["sequence_573"]
-    sc_rows = full["scaling"].get("rows", [])
     c = {
         "metric": full["metric"],
-        "value": full["value"],
+        "value": full.get("value"),
         "unit": full["unit"],
-        "vs_baseline": full["vs_baseline"],
-        "fps_sequential": full["fps_sequential"],
-        "fps_batched": full["fps_batched"],
-        "fps_multiseq_warm": full["fps_multiseq_warm"],
-        "ref_scale": {
-            "n": full["reference_scale"]["cvo"]["n"],
-            "pairs": full["reference_scale"]["cvo"]["pairs"],
-            "cvo": _ref(full["reference_scale"]["cvo"]),
-            "acvo": _ref(full["reference_scale"]["acvo"]),
-        },
-        "seq100": {
+        "vs_baseline": full.get("vs_baseline"),
+        "full": "bench_full.json",
+    }
+    for k in ("fps_sequential", "fps_batched", "fps_multiseq_warm"):
+        if k in full:
+            c[k] = full[k]
+    if "reference_scale" in full:
+        rs = full["reference_scale"]
+        c["ref_scale"] = {
+            "n": rs["cvo"]["n"],
+            "pairs": rs["cvo"]["pairs"],
+            "cvo": _ref(rs["cvo"]),
+            "acvo": _ref(rs["acvo"]),
+        }
+    if "sequence" in full:
+        seq = full["sequence"]
+        c["seq100"] = {
             "ate_m": seq["ate_rmse_m"],
             "rpe_t_m": seq["rpe_trans_rmse_m"],
             "fps_seq": seq["fps_sequential_warm"],
             "fps_batch": seq["batched"]["fps_align_steady"],
             "fail": seq["failed_pairs"],
-        },
-        "seq573": {
+        }
+    if "sequence_573" in full:
+        s573 = full["sequence_573"]
+        c["seq573"] = {
             "odom": {
                 "ate_m": s573["odometry"]["ate_rmse_m"],
                 "fps": s573["odometry"]["fps_warm"],
@@ -1206,26 +1223,30 @@ def compact_line(full):
                 "raw_m": s573["slam"]["ate_rmse_raw_m"],
                 "solved_m": s573["slam"]["ate_rmse_solved_m"],
             },
-        },
-        "scaling_sp_speedup": [
-            r.get("speedup_vs_1dev") for r in sc_rows
+        }
+        ba = s573["slam"].get("bundle_adjustment")
+        if ba:
+            c["seq573"]["ba"] = {
+                "cost0": ba["map_cost_before"],
+                "cost1": ba["map_cost_after"],
+            }
+        if "slam_acvo" in s573:
+            sa = s573["slam_acvo"]
+            c["seq573"]["slam_acvo"] = {
+                "kf": sa["keyframes"], "loops": sa["loop_edges"],
+                "raw_m": sa["ate_rmse_raw_m"],
+                "solved_m": sa["ate_rmse_solved_m"],
+            }
+    if "scaling" in full:
+        c["scaling_sp_speedup"] = [
+            r.get("speedup_vs_1dev")
+            for r in full["scaling"].get("rows", [])
             if r.get("mode") == "sp_shard"
-        ],
-        "matlab_parity_max_mm":
-            full["pose_err_vs_stored_matlab"]["max_translation_mm"],
-        "full": "bench_full.json",
-    }
-    ba = s573["slam"].get("bundle_adjustment")
-    if ba:
-        c["seq573"]["ba"] = {
-            "cost0": ba["map_cost_before"], "cost1": ba["map_cost_after"],
-        }
-    if "slam_acvo" in s573:
-        sa = s573["slam_acvo"]
-        c["seq573"]["slam_acvo"] = {
-            "kf": sa["keyframes"], "loops": sa["loop_edges"],
-            "raw_m": sa["ate_rmse_raw_m"], "solved_m": sa["ate_rmse_solved_m"],
-        }
+        ]
+    if "pose_err_vs_stored_matlab" in full:
+        c["matlab_parity_max_mm"] = (
+            full["pose_err_vs_stored_matlab"]["max_translation_mm"]
+        )
     if "ref_tolerance" in full:
         rt = full["ref_tolerance"]
         c["ref_tol"] = {"eps": rt["eps"], "eps_2": rt["eps_2"]}

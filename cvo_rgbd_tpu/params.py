@@ -30,6 +30,13 @@ class CvoParams:
     max_iter: int = 2000        # (cvo.cpp:38)
     min_step: float = 0.2       # (cvo.cpp:39)
     max_step: float = 0.8       # step clamp (cvo.cpp:307)
+    # The C++ shipped stops, REACHABLE in fp32 since round 4 (the
+    # difference-form flow epilogues + precise exp + pinned SE(3)
+    # matmuls; docs/PERF.md "Converging at the reference's own
+    # tolerances"): reference-scale pairs converge in ~60 iterations
+    # (the float64 oracle needs 66).  The MATLAB set (5e-4/1e-4,
+    # MATLAB_PARAMS below) halves iteration counts at a measured
+    # sub-mm pose delta — use it when wall time matters.
     eps: float = 5e-5           # flow-norm stop (cvo.cpp:40)
     eps_2: float = 1e-5         # se3-distance stop (cvo.cpp:41)
     # ell schedule: k>2 -> 0.10, k>9 -> 0.06, k>19 -> 0.03 (cvo.cpp:408-410)

@@ -166,3 +166,40 @@ def test_slam_process_batch_matches_sequential(rng):
     # the batched-decision run still promotes keyframes and can solve
     assert len(bat.keyframes) >= 2
     bat.solve()
+
+
+def test_slam_acvo_batched(rng):
+    """Adaptive-CVO SLAM (AcvoParams) through the batched-decision
+    driver — the configuration bench_sequence_full's slam_acvo leg
+    runs at 573 frames (VERDICT r3 item 5).  acvo's per-pair ell reset
+    (adaptive_cvo.cpp:475) changes warm-start dynamics; the driver
+    must still track poses and close the loop."""
+    from cvo_rgbd_tpu import AcvoParams
+
+    world, feat = make_world(rng)
+    feat = (feat / 255.0).astype(np.float32)  # feature_type-0 scale
+    poses_gt = square_loop_poses()
+    params = AcvoParams(max_iter=150)
+    cfg = SlamConfig(
+        keyframe=KeyframePolicy(threshold=0.995, max_span=2),
+        loop_min_separation=3,
+        loop_score_threshold=0.5,
+        optimize_iters=15,
+    )
+    slam = KeyframeSlam(params, cfg)
+    buf = []
+    out = []
+    for i, T in enumerate(poses_gt):
+        buf.append((i, observe(world, feat, T)))
+        if len(buf) >= 4:
+            out.extend(slam.process_batch(buf))
+            buf = []
+    if buf:
+        out.extend(slam.process_batch(buf))
+
+    assert len(out) == len(poses_gt)
+    errs = [np.linalg.norm(out[i][:3, 3] - poses_gt[i][:3, 3])
+            for i in range(len(poses_gt))]
+    assert max(errs) < 0.05, max(errs)
+    solved, _ = slam.solve()
+    assert np.isfinite(np.stack(solved)).all()
