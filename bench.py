@@ -917,7 +917,7 @@ def comms_model():
     measured single-chip tile-pass floor ~190 us at N=M=3072."""
     n = m = 3072
     f32 = 4
-    floor_us = 190.0                      # measured (bench roofline)
+    floor_us = 278.0                      # measured (bench roofline, r4)
     lat_us = 1.0                          # per-hop small-collective
     for_devs = (4, 8, 16)
 
@@ -943,7 +943,7 @@ def comms_model():
         },
         "dp": {"bytes_per_iter": 0, "pred_eff": {d: 1.0 for d in for_devs}},
         "assumptions": "v5e ICI 45 GB/s/dir/link, 1 us/hop latency, "
-        "measured 190 us single-chip tile pass at N=M=3072; "
+        "measured 278 us single-chip tile pass at N=M=3072 (r4, incl. exp_neg); "
         "eff = t_comp/N / (t_comp/N + t_comms); derivation docs/PERF.md",
     }
     for d in for_devs:
