@@ -13,16 +13,33 @@ import json
 import sys
 
 
+def _make_params(args):
+    """Params from CLI flags; None = library defaults (the C++
+    constants, incl. the shipped stops eps=5e-5/1e-5 — reachable in
+    fp32, see docs/PERF.md).  `--matlab-tol` switches to the MATLAB
+    stop set (5e-4/1e-4, rkhs_se3_registration.m:18-19) for ~half the
+    iterations at a measured sub-mm pose delta; `--eps/--eps-2` set
+    the thresholds directly."""
+    from cvo_rgbd_tpu.params import AcvoParams, CvoParams
+
+    cls = AcvoParams if getattr(args, "adaptive", False) else CvoParams
+    kw = {}
+    if getattr(args, "backend", "xla") != "xla":
+        kw["backend"] = args.backend
+    if getattr(args, "matlab_tol", False):
+        kw["eps"], kw["eps_2"] = 5e-4, 1e-4
+    if getattr(args, "eps", None) is not None:
+        kw["eps"] = args.eps
+    if getattr(args, "eps_2", None) is not None:
+        kw["eps_2"] = args.eps_2
+    return cls(**kw) if kw else None
+
+
 def _cmd_run(args):
     import contextlib
 
-    from cvo_rgbd_tpu.params import AcvoParams, CvoParams
-
     seq = int(args.seq) if args.seq.isdigit() else args.seq
-    params = None
-    if args.backend != "xla":
-        cls = AcvoParams if args.adaptive else CvoParams
-        params = cls(backend=args.backend)
+    params = _make_params(args)
     trace = contextlib.nullcontext()
     if args.profile_dir:
         # device-level tracing (SURVEY.md section 5): view the captured
@@ -67,13 +84,9 @@ def _run_odometry_cmd(args, seq, params):
 
 def _cmd_multiseq(args):
     from cvo_rgbd_tpu.multiseq import run_multiseq
-    from cvo_rgbd_tpu.params import AcvoParams, CvoParams
 
     seq = int(args.seq) if args.seq.isdigit() else args.seq
-    params = None
-    if args.backend != "xla":
-        cls = AcvoParams if args.adaptive else CvoParams
-        params = cls(backend=args.backend)
+    params = _make_params(args)
     run_multiseq(
         args.folders, seq, adaptive=args.adaptive, params=params,
         num_want=args.num_want, max_frames=args.max_frames,
@@ -307,6 +320,13 @@ def main(argv=None):
     pr.add_argument("--max-frames", type=int)
     pr.add_argument("--checkpoint")
     pr.add_argument("--num-want", type=int, default=3000)
+    pr.add_argument("--matlab-tol", action="store_true",
+                    help="MATLAB stop set (eps=5e-4/1e-4): ~half the "
+                    "iterations of the C++ default 5e-5/1e-5 at a "
+                    "measured sub-mm pose delta (docs/PERF.md)")
+    pr.add_argument("--eps", type=float, help="flow-norm stop override")
+    pr.add_argument("--eps-2", type=float, dest="eps_2",
+                    help="se3-distance stop override")
     pr.add_argument("--backend", default="xla",
                     choices=["xla", "pallas", "fused"])
     pr.add_argument("--no-native-io", action="store_true",
@@ -342,6 +362,10 @@ def main(argv=None):
     pm.add_argument("--adaptive", action="store_true")
     pm.add_argument("--num-want", type=int, default=3000)
     pm.add_argument("--max-frames", type=int)
+    pm.add_argument("--matlab-tol", action="store_true",
+                    help="MATLAB stop set (see `run --matlab-tol`)")
+    pm.add_argument("--eps", type=float)
+    pm.add_argument("--eps-2", type=float, dest="eps_2")
     pm.add_argument("--backend", default="xla",
                     choices=["xla", "pallas", "fused"])
     pm.add_argument("--cold-start", action="store_true",

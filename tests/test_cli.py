@@ -156,3 +156,31 @@ def test_slam_cli(tmp_path, capsys, rng):
     assert lines[0].startswith("100.500000 ")
     # 8 TUM fields per line
     assert all(len(l.split()) == 8 for l in lines)
+
+
+def test_run_tolerance_flags(synth_dataset, tmp_path, capsys):
+    """--matlab-tol / --eps overrides build the right params: the
+    MATLAB stop set roughly halves iteration counts vs the shipped C++
+    stops (docs/PERF.md stop-set equivalence)."""
+    from cvo_rgbd_tpu.cli import _make_params
+
+    import argparse
+
+    ns = argparse.Namespace(adaptive=False, backend="xla",
+                            matlab_tol=True, eps=None, eps_2=None)
+    p = _make_params(ns)
+    assert p.eps == 5e-4 and p.eps_2 == 1e-4
+    ns2 = argparse.Namespace(adaptive=True, backend="pallas",
+                             matlab_tol=False, eps=1e-3, eps_2=None)
+    p2 = _make_params(ns2)
+    assert p2.eps == 1e-3 and p2.backend == "pallas" and p2.eps_2 == 1e-5
+    assert _make_params(argparse.Namespace(
+        adaptive=False, backend="xla", matlab_tol=False,
+        eps=None, eps_2=None)) is None
+
+    out = tmp_path / "mt.txt"
+    cli.main([
+        "run", str(synth_dataset), "1", "--num-want", str(NUM_WANT),
+        "--max-frames", "3", "--matlab-tol", "--output", str(out),
+    ])
+    assert out.exists()
