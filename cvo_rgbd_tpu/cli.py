@@ -18,7 +18,7 @@ def _make_params(args):
     constants, incl. the shipped stops eps=5e-5/1e-5 — reachable in
     fp32, see docs/PERF.md).  `--matlab-tol` switches to the MATLAB
     stop set (5e-4/1e-4, rkhs_se3_registration.m:18-19) for ~half the
-    iterations at a measured sub-mm pose delta; `--eps/--eps-2` set
+    iterations at a measured ~1 mm pose delta; `--eps/--eps-2` set
     the thresholds directly."""
     from cvo_rgbd_tpu.params import AcvoParams, CvoParams
 
@@ -323,7 +323,7 @@ def main(argv=None):
     pr.add_argument("--matlab-tol", action="store_true",
                     help="MATLAB stop set (eps=5e-4/1e-4): ~half the "
                     "iterations of the C++ default 5e-5/1e-5 at a "
-                    "measured sub-mm pose delta (docs/PERF.md)")
+                    "measured ~1 mm pose delta (docs/PERF.md)")
     pr.add_argument("--eps", type=float, help="flow-norm stop override")
     pr.add_argument("--eps-2", type=float, dest="eps_2",
                     help="se3-distance stop override")

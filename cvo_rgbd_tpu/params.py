@@ -36,7 +36,7 @@ class CvoParams:
     # tolerances"): reference-scale pairs converge in ~60 iterations
     # (the float64 oracle needs 66).  The MATLAB set (5e-4/1e-4,
     # MATLAB_PARAMS below) halves iteration counts at a measured
-    # sub-mm pose delta — use it when wall time matters.
+    # ~1 mm pose delta — use it when wall time matters.
     eps: float = 5e-5           # flow-norm stop (cvo.cpp:40)
     eps_2: float = 1e-5         # se3-distance stop (cvo.cpp:41)
     # ell schedule: k>2 -> 0.10, k>9 -> 0.06, k>19 -> 0.03 (cvo.cpp:408-410)

@@ -21,7 +21,7 @@ difference-form flow epilogues (core/flow.py) make the C++ 5e-5/1e-5
 stops converge in fp32 (tests/test_oracle_traj.py runs a chain at
 them; bench.py's ref_tolerance block measures 64 reference-scale
 pairs), but they roughly double iteration counts, and the measured
-pose delta between the two stop sets is sub-mm (bench
+pose delta between the two stop sets is ~1 mm (bench
 pose_delta_vs_matlab_stop_mm).
 Calibration (this fixture): cvo ATE 0.0275, RPE 0.033/0.020; SLAM raw
 0.0218 -> solved 0.0109 (16 loop edges); acvo(40) 0.0115; batched(100)
