@@ -68,6 +68,7 @@ def se_gram(
     c_sigma,
     sp_thres,
     c_sp_thres,
+    fast_exp=False,
 ):
     """Masked dense A = (s^2 e^{-d2/2l^2}) * (cs^2 e^{-d2c/2cl^2}).
 
@@ -83,11 +84,14 @@ def se_gram(
     d2 = pairwise_sqdist(x_pos, y_pos)
     d2c = pairwise_sqdist(x_feat, y_feat)
 
-    # exp_neg, not jnp.exp: hardware exp's ~1e-6 error flips
-    # gate membership as the pose moves and stalls convergence
-    # at reference scale (core/numerics.py)
-    k = s2 * exp_neg(d2 / (2.0 * ell * ell))
-    ck = cs2 * exp_neg(d2c / (2.0 * c_ell * c_ell))
+    # exp_neg by default, not jnp.exp: hardware exp's ~1e-6 error flips
+    # gate membership as the pose moves and stalls convergence at
+    # reference scale (core/numerics.py).  fast_exp
+    # (params.exp_mode="fast") trades that for ~30% cheaper kernels —
+    # fine at the MATLAB stops.
+    _exp = (lambda z: jnp.exp(-z)) if fast_exp else exp_neg
+    k = s2 * _exp(d2 / (2.0 * ell * ell))
+    ck = cs2 * _exp(d2c / (2.0 * c_ell * c_ell))
     a = k * ck
 
     gate = (
@@ -109,12 +113,14 @@ def linear_color_gram(x_feat, y_feat, color_scale):
     )
 
 
-def matlab_gram(x_pos, x_mask, y_pos, y_mask, ci, ell, *, sigma, sp_thres):
+def matlab_gram(x_pos, x_mask, y_pos, y_mask, ci, ell, *, sigma, sp_thres,
+                fast_exp=False):
     """MATLAB-mode A: K = se_kernel; K[K < sp] = 0; A = CI .* K
     (rkhs_se3_registration.m:125-127)."""
     s2 = sigma * sigma
     d2 = pairwise_sqdist(x_pos, y_pos)
-    k = s2 * exp_neg(d2 / (2.0 * ell * ell))
+    _exp = (lambda z: jnp.exp(-z)) if fast_exp else exp_neg
+    k = s2 * _exp(d2 / (2.0 * ell * ell))
     gate = (
         (k >= sp_thres)
         & (x_mask[..., :, None] > 0)

@@ -71,17 +71,18 @@ def _schedule_ell(ell, k, sched):
 
 
 def _gram(p, x: PointCloud, y_pos, y_cloud: PointCloud, ell, ci):
+    fast = getattr(p, "exp_mode", "precise") == "fast"
     if p.color_mode == "linear":
         return gram_mod.matlab_gram(
             x.positions, x.mask, y_pos, y_cloud.mask, ci, ell,
-            sigma=p.sigma, sp_thres=p.sp_thres,
+            sigma=p.sigma, sp_thres=p.sp_thres, fast_exp=fast,
         )
     return gram_mod.se_gram(
         x.positions, x.features, x.mask,
         y_pos, y_cloud.features, y_cloud.mask,
         ell,
         sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
-        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres, fast_exp=fast,
     )
 
 
@@ -171,6 +172,7 @@ def make_align_step(p, adaptive: bool):
                     state.ell,
                     sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
                     sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+                    fast_exp=getattr(p, "exp_mode", "precise") == "fast",
                 )
                 dl = flow_mod.adaptive_dl(
                     A, Axx, Ayy, fixed.positions, y_pos, state.ell,

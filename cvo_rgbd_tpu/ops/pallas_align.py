@@ -354,6 +354,10 @@ def _out_tile(vals):
 def _make_kernel(p, nfeat, adaptive=False):
     """Kernel closure; every hyperparameter is baked in as a Python
     constant (p is a frozen dataclass — jit-static)."""
+    # exp choice is static per params (see core/numerics.py /
+    # params.exp_mode): precise for the C++ stops, hardware for speed
+    _exp = ((lambda z: jnp.exp(-z))
+            if getattr(p, "exp_mode", "precise") == "fast" else exp_neg)
     linear = p.color_mode == "linear"
     s2 = float(p.sigma) ** 2
     cs2 = float(p.c_sigma) ** 2
@@ -413,7 +417,7 @@ def _make_kernel(p, nfeat, adaptive=False):
             d2c = (xf[0] - yf[0]) ** 2
             for f in range(1, nfeat):
                 d2c = d2c + (xf[f] - yf[f]) ** 2
-            ck = cs2 * exp_neg(d2c * inv2cl2)
+            ck = cs2 * _exp(d2c * inv2cl2)
             bmask = bmask & (d2c < d2_c_thres)
             ci = None
 
@@ -438,8 +442,8 @@ def _make_kernel(p, nfeat, adaptive=False):
             for f in range(1, nfeat):
                 d2c_xx = d2c_xx + (xf[f] - xfr[f]) ** 2
                 d2c_yy = d2c_yy + (yfc[f] - yf[f]) ** 2
-            ck_xx = cs2 * exp_neg(d2c_xx * inv2cl2)
-            ck_yy = cs2 * exp_neg(d2c_yy * inv2cl2)
+            ck_xx = cs2 * _exp(d2c_xx * inv2cl2)
+            ck_yy = cs2 * _exp(d2c_yy * inv2cl2)
             bmask_xx = (xm > 0) & (xmr > 0) & (d2c_xx < d2_c_thres)
             bmask_yy = (ymc > 0) & (ym > 0) & (d2c_yy < d2_c_thres)
 
@@ -469,7 +473,7 @@ def _make_kernel(p, nfeat, adaptive=False):
             # se_kernel (cvo.cpp:99-161 / rkhs_se3_registration.m:125-127)
             d2 = (x0 - ty0) ** 2 + (x1 - ty1) ** 2 + (x2 - ty2) ** 2
             inv2l2 = 1.0 / (2.0 * ell * ell)
-            kmat = s2 * exp_neg(d2 * inv2l2)
+            kmat = s2 * _exp(d2 * inv2l2)
             if linear:
                 gate = (kmat >= sp_thres) & bmask
                 A = jnp.where(gate, ci * kmat, 0.0)
@@ -484,10 +488,10 @@ def _make_kernel(p, nfeat, adaptive=False):
             # transform-invariant self-distance tiles
             if adaptive:
                 d2t = thres_c * ell * ell
-                a_xx = s2 * exp_neg(d2xx * inv2l2) * ck_xx
+                a_xx = s2 * _exp(d2xx * inv2l2) * ck_xx
                 gate_xx = (d2xx < d2t) & (a_xx > sp_thres) & bmask_xx
                 Axx = jnp.where(gate_xx, a_xx, 0.0)
-                a_yy = s2 * exp_neg(d2yy * inv2l2) * ck_yy
+                a_yy = s2 * _exp(d2yy * inv2l2) * ck_yy
                 gate_yy = (d2yy < d2t) & (a_yy > sp_thres) & bmask_yy
                 Ayy = jnp.where(gate_yy, a_yy, 0.0)
                 s_xy = jnp.sum(A * d2)

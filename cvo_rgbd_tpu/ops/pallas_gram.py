@@ -72,7 +72,8 @@ def _read_planes(refs):
     return tuple(vals[0:3]), tuple(vals[3:8]), vals[8]
 
 
-def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
+def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False,
+               fast_exp=False):
     """A tile + d2 tile from (TI,1) x-columns and (1,TJ) y-rows.
 
     With `ck_ref`, the (gated, masked) color kernel is READ from a
@@ -87,7 +88,12 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
     holds the masked linear CI tile (inherently loop-invariant — the
     MATLAB class precomputes it once per pair), the gate is on the
     position kernel alone, and A = CI .* K.
+
+    `fast_exp` (params.exp_mode="fast"): hardware exp instead of the
+    libm-grade exp_neg — ~30% cheaper tile pass, converges at the
+    MATLAB stops but NOT at the C++ 5e-5 set (core/numerics.py).
     """
+    _exp = (lambda z: jnp.exp(-z)) if fast_exp else exp_neg
     (ell, s2, cs2, inv_2l2, inv_2cl2, d2_thres, d2_c_thres, sp_thres) = scal
     (x0, x1, x2), xf, xm = _read_planes(xrefs)
     (y0, y1, y2), yf, ym = _read_planes(yrefs)
@@ -97,7 +103,7 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
         return d * d
 
     d2 = psq(x0, y0) + psq(x1, y1) + psq(x2, y2)
-    k = s2 * exp_neg(d2 * inv_2l2)
+    k = s2 * _exp(d2 * inv_2l2)
 
     if linear:
         gate = k >= sp_thres
@@ -111,7 +117,7 @@ def _pair_tile(xrefs, yrefs, scal, ck_ref=None, linear=False):
     d2c = psq(xf[0], yf[0])
     for c in range(1, 5):
         d2c = d2c + psq(xf[c], yf[c])
-    ck = cs2 * exp_neg(d2c * inv_2cl2)
+    ck = cs2 * _exp(d2c * inv_2cl2)
     a = k * ck
     gate = (
         (d2 < d2_thres)
@@ -127,14 +133,14 @@ def _unpack_scal(s_ref):
     return tuple(s_ref[0, i] for i in range(8))
 
 
-def _make_flow_kernel(use_ck, linear=False):
+def _make_flow_kernel(use_ck, linear=False, fast_exp=False):
     def kernel(s_ref, *refs):
-        return _flow_body(s_ref, refs, use_ck, linear)
+        return _flow_body(s_ref, refs, use_ck, linear, fast_exp)
 
     return kernel
 
 
-def _flow_body(s_ref, refs, use_ck, linear=False):
+def _flow_body(s_ref, refs, use_ck, linear=False, fast_exp=False):
     """refs: 9 x-planes, 9 y-planes, [ck,] acc.  Accumulator row 0: 0-2
     omega*c, 3-5 v*d, 6 sum A|x-y|^2, 7 nnz, 8 sum A."""
     xrefs, yrefs = refs[:9], refs[9:18]
@@ -148,7 +154,7 @@ def _flow_body(s_ref, refs, use_ck, linear=False):
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
     scal = _unpack_scal(s_ref)
-    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
+    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
     (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
     (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
@@ -175,14 +181,15 @@ def _flow_body(s_ref, refs, use_ck, linear=False):
     acc_ref[:, :] += _acc_update([om0, om1, om2, v0, v1, v2, wsq, nnz, sA])
 
 
-def _make_step_kernel(use_ck, linear=False):
+def _make_step_kernel(use_ck, linear=False, fast_exp=False):
     def kernel(s_ref, wv_ref, *refs):
-        return _step_body(s_ref, wv_ref, refs, use_ck, linear)
+        return _step_body(s_ref, wv_ref, refs, use_ck, linear, fast_exp)
 
     return kernel
 
 
-def _step_body(s_ref, wv_ref, refs, use_ck, linear=False):
+def _step_body(s_ref, wv_ref, refs, use_ck, linear=False,
+               fast_exp=False):
     """refs: 9 x-planes, 9 y-planes, [ck,] acc.  Accumulator row 0: 0 B,
     1 C, 2 D, 3 E (cvo.cpp:249-289)."""
     xrefs, yrefs = refs[:9], refs[9:18]
@@ -200,7 +207,7 @@ def _step_body(s_ref, wv_ref, refs, use_ck, linear=False):
     w0, w1, w2 = wv_ref[0, 0], wv_ref[0, 1], wv_ref[0, 2]
     v0, v1, v2 = wv_ref[0, 3], wv_ref[0, 4], wv_ref[0, 5]
 
-    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
+    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
     (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1)
     (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ)
 
@@ -378,6 +385,7 @@ def fused_flow(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, interpret=None):
     CI tile from `linear_ci_cache`."""
     interpret = _auto_interpret(interpret)
     linear = p.color_mode == "linear"
+    fast_exp = getattr(p, "exp_mode", "precise") == "fast"
     if linear and ck is None:
         raise ValueError("linear color mode requires the ci cache")
     n, m = xp.shape[0], yp.shape[0]
@@ -387,7 +395,7 @@ def fused_flow(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, interpret=None):
     extra_spec = [_ck_spec(n, m)] if use_ck else []
     extra = (ck,) if use_ck else ()
     acc = pl.pallas_call(
-        _make_flow_kernel(use_ck, linear),
+        _make_flow_kernel(use_ck, linear, fast_exp),
         grid=grid,
         in_specs=[smem] + xspec + yspec + extra_spec,
         out_specs=out,
@@ -414,12 +422,13 @@ def fused_step_coeffs(xp, xf, xm, yp, yf, ym, ell, omega, v, ck=None, *, p,
                            memory_space=pltpu.SMEM)
     use_ck = ck is not None
     linear = p.color_mode == "linear"
+    fast_exp = getattr(p, "exp_mode", "precise") == "fast"
     if linear and ck is None:
         raise ValueError("linear color mode requires the ci cache")
     extra_spec = [_ck_spec(n, m)] if use_ck else []
     extra = (ck,) if use_ck else ()
     acc = pl.pallas_call(
-        _make_step_kernel(use_ck, linear),
+        _make_step_kernel(use_ck, linear, fast_exp),
         grid=grid,
         in_specs=[smem, wv_spec] + xspec + yspec + extra_spec,
         out_specs=out,

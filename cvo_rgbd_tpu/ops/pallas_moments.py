@@ -51,14 +51,15 @@ from cvo_rgbd_tpu.ops.pallas_gram import (
 MOM_WIDTH = 128  # lane-aligned moment width (35 real columns)
 
 
-def _make_moments_kernel(use_ck, ti, linear=False):
+def _make_moments_kernel(use_ck, ti, linear=False, fast_exp=False):
     def kernel(s_ref, *refs):
-        return _moments_body(s_ref, refs, use_ck, ti, linear)
+        return _moments_body(s_ref, refs, use_ck, ti, linear, fast_exp)
 
     return kernel
 
 
-def _moments_body(s_ref, refs, use_ck, ti, linear=False):
+def _moments_body(s_ref, refs, use_ck, ti, linear=False,
+                  fast_exp=False):
     """refs: 9 x-planes, 9 y-planes, phi, [ck,] mom_out, resid_out,
     acc_out.
 
@@ -98,7 +99,7 @@ def _moments_body(s_ref, refs, use_ck, ti, linear=False):
     i = pl.program_id(1)
 
     scal = _unpack_scal(s_ref)
-    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
+    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
 
     phi_tile = phi_ref[pl.ds(i * ti, ti), :]
     contrib = jax.lax.dot_general(
@@ -158,6 +159,7 @@ def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
     transforms).  `ck` as in fused_flow."""
     interpret = _auto_interpret(interpret)
     linear = p.color_mode == "linear"
+    fast_exp = getattr(p, "exp_mode", "precise") == "fast"
     if linear and ck is None:
         raise ValueError("linear color mode requires the ci cache")
     n, m = xp.shape[0], yp.shape[0]
@@ -187,7 +189,7 @@ def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
                             memory_space=pltpu.VMEM)
 
     mom, resid, acc = pl.pallas_call(
-        _make_moments_kernel(use_ck, ti, linear),
+        _make_moments_kernel(use_ck, ti, linear, fast_exp),
         grid=grid,
         in_specs=[smem] + xspec + yspec + [phi_spec] + ck_spec,
         out_specs=[mom_spec, resid_spec, acc_spec],
@@ -202,14 +204,16 @@ def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
     return mom, resid, acc[0, 0], acc[0, 1]
 
 
-def _make_wsq_kernel(use_ck, linear=False, symmetric=False):
+def _make_wsq_kernel(use_ck, linear=False, symmetric=False,
+                     fast_exp=False):
     def kernel(s_ref, *refs):
-        return _wsq_body(s_ref, refs, use_ck, linear, symmetric)
+        return _wsq_body(s_ref, refs, use_ck, linear, symmetric, fast_exp)
 
     return kernel
 
 
-def _wsq_body(s_ref, refs, use_ck, linear=False, symmetric=False):
+def _wsq_body(s_ref, refs, use_ck, linear=False, symmetric=False,
+              fast_exp=False):
     """Accumulator row 0: 0 sum A*d2, 1 nnz.
 
     `symmetric` (the Axx/Ayy self-sweeps): A is exactly symmetric —
@@ -229,7 +233,7 @@ def _wsq_body(s_ref, refs, use_ck, linear=False, symmetric=False):
 
     def tile_update(weight):
         scal = _unpack_scal(s_ref)
-        A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear)
+        A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
         wsq = jnp.sum(A * d2)
         nnz = jnp.sum((A > 0).astype(jnp.float32))
         acc_ref[:, :] += _acc_update([weight * wsq, weight * nnz])
@@ -251,6 +255,7 @@ def fused_wsq(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, symmetric=False,
     the same cloud (upper-triangle evaluation, exact)."""
     interpret = _auto_interpret(interpret)
     linear = p.color_mode == "linear"
+    fast_exp = getattr(p, "exp_mode", "precise") == "fast"
     if linear and ck is None:
         raise ValueError("linear color mode requires the ci cache")
     n, m = xp.shape[0], yp.shape[0]
@@ -274,7 +279,7 @@ def fused_wsq(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, symmetric=False,
     out = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                        memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
-        _make_wsq_kernel(use_ck, linear, symmetric),
+        _make_wsq_kernel(use_ck, linear, symmetric, fast_exp),
         grid=grid,
         in_specs=[smem] + xspec + yspec + ck_spec,
         out_specs=out,

@@ -58,15 +58,17 @@ def _se_gram(p, xp, xf, xm, yp, yf, ym, ell):
     params' color mode exactly like core.registration._gram.  The
     linear-mode CI block is recomputed per call — loop-invariant work,
     but tiny (one [n,m] matmul) next to the kernel itself."""
+    fast = getattr(p, "exp_mode", "precise") == "fast"
     if p.color_mode == "linear":
         ci = gram_mod.linear_color_gram(xf, yf, p.color_scale)
         return gram_mod.matlab_gram(
             xp, xm, yp, ym, ci, ell, sigma=p.sigma, sp_thres=p.sp_thres,
+            fast_exp=fast,
         )
     return gram_mod.se_gram(
         xp, xf, xm, yp, yf, ym, ell,
         sigma=p.sigma, c_ell=p.c_ell, c_sigma=p.c_sigma,
-        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres,
+        sp_thres=p.sp_thres, c_sp_thres=p.c_sp_thres, fast_exp=fast,
     )
 
 

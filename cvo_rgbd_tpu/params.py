@@ -58,6 +58,13 @@ class CvoParams:
     # (no [N,M] intermediates, centered for fp32 stability); "direct" =
     # literal per-pair field evaluation (cvo.cpp:249-289).
     step_mode: str = "factored"
+    # Gram exponential: "precise" = libm-grade exp_neg
+    # (core/numerics.py; required for the C++ shipped stops 5e-5/1e-5 —
+    # hardware exp's ~1.2e-6 error jitters the sparsity gates and
+    # stalls convergence at reference scale, docs/PERF.md); "fast" =
+    # hardware exp (~30% cheaper iterations, converges fine at the
+    # MATLAB stops 5e-4/1e-4 — exactly the round-3 configuration).
+    exp_mode: str = "precise"
 
     @property
     def c_sp_thres(self) -> float:
@@ -103,6 +110,7 @@ class AcvoParams:
     backend: str = "xla"  # "xla" | "pallas" (yy_quirk needs "xla")
     ck_cache: bool = True  # see CvoParams.ck_cache (x3 caches for acvo)
     step_mode: str = "factored"  # see CvoParams.step_mode
+    exp_mode: str = "precise"  # see CvoParams.exp_mode
 
 
 # MATLAB prototype parameter set (rkhs_se3_registration.m:7-36): linear

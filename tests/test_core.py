@@ -298,3 +298,36 @@ def test_step_factored_matches_direct(rng):
     got = step_coefficients_factored(A, x.positions, y.positions, omega, v, 0.1)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(float(g), float(r), rtol=5e-3, atol=1e-4)
+
+
+def test_exp_mode_fast_matches_precise_at_matlab_stops(rng):
+    """params.exp_mode="fast" (hardware exp, ~30% cheaper kernels)
+    must converge at the MATLAB stops with poses at the stop-set
+    tolerance of the precise default (the round-3 configuration;
+    docs/PERF.md round-4 study for why "precise" is the default)."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from cvo_rgbd_tpu.core.registration import align
+    from cvo_rgbd_tpu.params import CvoParams
+
+    base = np.random.default_rng(17)
+    pos = base.standard_normal((200, 3)).astype(np.float32) * 0.4
+    feat = (base.random((200, 5)) * np.array([255, 255, 255, 60, 60])
+            ).astype(np.float32)
+    from cvo_rgbd_tpu import se3 as _se3
+
+    R = np.asarray(_se3.exp_so3(np.array([0.01, -0.008, 0.012], np.float32)))
+    t = np.array([0.015, -0.02, 0.01], np.float32)
+    x = pad_cloud(pos, feat)
+    y = pad_cloud((pos @ R.T + t).astype(np.float32), feat)
+
+    p_precise = CvoParams(eps=5e-4, eps_2=1e-4)
+    p_fast = dataclasses.replace(p_precise, exp_mode="fast")
+    r_p = jax.jit(functools.partial(align, p_precise))(x, y)
+    r_f = jax.jit(functools.partial(align, p_fast))(x, y)
+    assert bool(r_p.converged) and bool(r_f.converged)
+    d = np.asarray(r_p.tf, np.float64) - np.asarray(r_f.tf, np.float64)
+    assert np.abs(d[:3, 3]).max() < 2e-3, d[:3, 3]
