@@ -194,13 +194,12 @@ def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60,
         (x_c, xf, xm, y_c, yf, ym, phi, ck_xy), rest = args[:8], args[8:]
 
         def body(ell, _):
-            Mom, resid, nnz, wsq = fused_moments(
+            Mom, nnz = fused_moments(
                 x_c, xf, xm, y_c, yf, ym, phi, ell, ck_xy, p=params,
             )
             # feed a kernel output into the next ell: serializes the
             # scan and keeps every sweep live
-            out = (ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz
-                   + 1e-12 * resid[0, 0] + 1e-12 * wsq)
+            out = ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz
             if adaptive:
                 x_pos, y_pos, ck_xx, ck_yy = rest
                 wxx, nxx = fused_wsq(x_pos, xf, xm, x_pos, xf, xm, ell,
@@ -917,7 +916,7 @@ def comms_model():
     measured single-chip tile-pass floor ~190 us at N=M=3072."""
     n = m = 3072
     f32 = 4
-    floor_us = 278.0                      # measured (bench roofline, r4)
+    floor_us = 228.0                      # measured (bench roofline, r4)
     lat_us = 1.0                          # per-hop small-collective
     for_devs = (4, 8, 16)
 
@@ -943,7 +942,7 @@ def comms_model():
         },
         "dp": {"bytes_per_iter": 0, "pred_eff": {d: 1.0 for d in for_devs}},
         "assumptions": "v5e ICI 45 GB/s/dir/link, 1 us/hop latency, "
-        "measured 278 us single-chip tile pass at N=M=3072 (r4, incl. exp_neg); "
+        "measured 228 us single-chip tile pass at N=M=3072 (r4, incl. exp_neg); "
         "eff = t_comp/N / (t_comp/N + t_comms); derivation docs/PERF.md",
     }
     for d in for_devs:

@@ -101,7 +101,7 @@ def make_align_step(p, adaptive: bool):
         from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
         from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
         from cvo_rgbd_tpu.core.moments import (
-            flow_from_residuals, step_from_moments,
+            flow_from_moments, step_from_moments,
         )
 
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
@@ -126,12 +126,14 @@ def make_align_step(p, adaptive: bool):
             # (core/moments.py) — the reference's two nnz(A) traversals
             # (cvo.cpp:164-308) collapse into one pass.
             c0, x_c, phi = moments_pre
-            Mom, resid, nnz_xy, wsq_xy = fused_moments(
+            Mom, nnz_xy = fused_moments(
                 x_c, fixed.features, fixed.mask,
                 y_pos - c0, moving.features, moving.mask,
                 phi, state.ell, ck_xy, p=p,
             )
-            omega, v = flow_from_residuals(resid, x_c, c0, c=p.c, d=p.d)
+            omega, v, wsq_xy, _ = flow_from_moments(
+                Mom, y_pos, c0, c=p.c, d=p.d
+            )
             if adaptive:
                 # self-kernels only feed the dl reduction — lean sweeps
                 # (adaptive_cvo.cpp:156-160, 222-271)

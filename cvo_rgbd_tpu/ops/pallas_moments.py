@@ -42,7 +42,6 @@ from cvo_rgbd_tpu.ops.pallas_gram import (
     _pack_x,
     _pack_y,
     _pair_tile,
-    _read_planes,
     _scal_vector,
     _tile,
     _unpack_scal,
@@ -60,8 +59,7 @@ def _make_moments_kernel(use_ck, ti, linear=False, fast_exp=False):
 
 def _moments_body(s_ref, refs, use_ck, ti, linear=False,
                   fast_exp=False):
-    """refs: 9 x-planes, 9 y-planes, phi, [ck,] mom_out, resid_out,
-    acc_out.
+    """refs: 9 x-planes, 9 y-planes, phi, [ck,] mom_out, acc_out.
 
     Grid is (j, i) with i innermost so the [TJ, 128] moment block stays
     VMEM-resident while the row tiles of its column sweep by.  Phi is
@@ -69,32 +67,22 @@ def _moments_body(s_ref, refs, use_ck, ti, linear=False,
     scale): loaded into VMEM once for the whole sweep instead of
     re-fetched from HBM for every j-tile; the kernel row-slices it.
 
-    `resid_out` [N,128] accumulates the per-row DIFFERENCE-FORM flow
-    residuals in cols 0-2:
+    Flow comes from Mom via the difference-form epilogue
+    (core/moments.py flow_from_moments: r_j = S0_j y'_j - S1'_j per
+    moment column) — verified on-chip to converge at the C++ shipped
+    stops identically to an in-kernel per-row residual accumulation
+    (8/8 pairs, ~60 iterations both ways) once every SE(3) matmul is
+    precision-pinned; the Mom-based epilogue is ~15% cheaper per
+    iteration, so it is the production path (docs/PERF.md round-4
+    study).
 
-        r_i = sum_j A_ij (y_j - x_i) = (A y_row)_i - (A 1)_i x_i
-
-    computed per tile with VPU row reductions — NOT from the MXU
-    moment matrix.  On real hardware the in-kernel dot_general's
-    accumulated noise in Mom leaves the moment-epilogue flow floored
-    above the reference's eps=5e-5 stop (the CPU interpret path hides
-    this), while the per-tile difference form cancels before any big
-    sum — the same math the whole-align fused kernel uses, which
-    converges at the C++ stops on-chip.  The residual buffer is a
-    single whole-array block (block index constant), so it stays
-    VMEM-resident for the sweep.  Mom still feeds the line-search
-    coefficients B..E, whose conditioning tolerates MXU noise.
-
-    Accumulator row 0: col 0 nnz, col 1 sum A*d2 (the adaptive dl's
-    cross term), col 2 sum A."""
+    Accumulator row 0: col 0 nnz."""
     xrefs, yrefs = refs[:9], refs[9:18]
     phi_ref = refs[18]
     if use_ck:
-        ck_ref, mom_ref, resid_ref, acc_ref = (
-            refs[19], refs[20], refs[21], refs[22])
+        ck_ref, mom_ref, acc_ref = refs[19], refs[20], refs[21]
     else:
-        ck_ref, mom_ref, resid_ref, acc_ref = (
-            None, refs[19], refs[20], refs[21])
+        ck_ref, mom_ref, acc_ref = None, refs[19], refs[20]
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -121,42 +109,20 @@ def _moments_body(s_ref, refs, use_ck, ti, linear=False,
     @pl.when((i == 0) & (j == 0))
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
-        resid_ref[:, :] = jnp.zeros_like(resid_ref)
-
-    (x0, x1, x2), _, _ = _read_planes(xrefs)   # (TI,1) — centered x'
-    (y0, y1, y2), _, _ = _read_planes(yrefs)   # (1,TJ) — centered y'
-    row = jnp.sum(A, axis=1, keepdims=True)    # (TI,1)
-    r0 = jnp.sum(A * y0, axis=1, keepdims=True) - row * x0
-    r1 = jnp.sum(A * y1, axis=1, keepdims=True) - row * x1
-    r2 = jnp.sum(A * y2, axis=1, keepdims=True) - row * x2
-    col = jax.lax.broadcasted_iota(jnp.int32, (r0.shape[0], MOM_WIDTH), 1)
-    upd = (
-        jnp.where(col == 0, r0, 0.0)
-        + jnp.where(col == 1, r1, 0.0)
-        + jnp.where(col == 2, r2, 0.0)
-    )
-    resid_ref[pl.ds(i * ti, ti), :] += upd
 
     nnz = jnp.sum((A > 0).astype(jnp.float32))
-    wsq = jnp.sum(A * d2)
-    sA = jnp.sum(A)
-    acc_ref[:, :] += _acc_update([nnz, wsq, sA])
+    acc_ref[:, :] += _acc_update([nnz])
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
 def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
                   interpret=None):
-    """One-sweep moment accumulation: returns
-    (Mom [M, 128], resid [N, 128], nnz, wsq).
+    """One-sweep moment accumulation: returns (Mom [M, 128], nnz).
 
-    `resid` cols 0-2 carry the per-row difference-form flow residuals
-    r_i = sum_j A_ij (y_j - x_i) (see _moments_body — flow must NOT be
-    derived from Mom on real hardware); `wsq` = sum A*d2 feeds the
-    adaptive dl.  `xp`/`yp` are the CENTERED positions (x - c0,
-    y - c0 — the pair distances are shift-invariant so A is unchanged;
-    r is shift-invariant too); `phi` is monomial_features_padded(x -
-    c0) [N, 128], computed once per pair (the fixed cloud never
-    transforms).  `ck` as in fused_flow."""
+    `xp`/`yp` are the CENTERED positions (x - c0, y - c0 — the pair
+    distances are shift-invariant so A is unchanged); `phi` is
+    monomial_features_padded(x - c0) [N, 128], computed once per pair
+    (the fixed cloud never transforms).  `ck` as in fused_flow."""
     interpret = _auto_interpret(interpret)
     linear = p.color_mode == "linear"
     fast_exp = getattr(p, "exp_mode", "precise") == "fast"
@@ -183,25 +149,22 @@ def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
     extra = (ck,) if use_ck else ()
     mom_spec = pl.BlockSpec((tj, MOM_WIDTH), lambda j, i: (j, 0),
                             memory_space=pltpu.VMEM)
-    resid_spec = pl.BlockSpec((n, MOM_WIDTH), lambda j, i: (0, 0),
-                              memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((8, 128), lambda j, i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    mom, resid, acc = pl.pallas_call(
+    mom, acc = pl.pallas_call(
         _make_moments_kernel(use_ck, ti, linear, fast_exp),
         grid=grid,
         in_specs=[smem] + xspec + yspec + [phi_spec] + ck_spec,
-        out_specs=[mom_spec, resid_spec, acc_spec],
+        out_specs=[mom_spec, acc_spec],
         out_shape=[
             jax.ShapeDtypeStruct((m, MOM_WIDTH), jnp.float32),
-            jax.ShapeDtypeStruct((n, MOM_WIDTH), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(_scal_vector(ell, p), *_pack_x(xp, xf, xm), *_pack_y(yp, yf, ym),
       phi, *extra)
-    return mom, resid, acc[0, 0], acc[0, 1]
+    return mom, acc[0, 0]
 
 
 def _make_wsq_kernel(use_ck, linear=False, symmetric=False,

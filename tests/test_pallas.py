@@ -169,13 +169,12 @@ def test_color_gram_cache_equivalence(rng):
 
 
 def test_fused_moments_flow_matches_xla(rng):
-    """Single-pass moments kernel: BOTH flow epilogues (the production
-    in-kernel residual path and the Mom-derived oracle path) vs the
-    XLA reference."""
+    """Single-pass moments -> difference-form flow epilogue vs the XLA
+    reference."""
     import jax.numpy as jnp
 
     from cvo_rgbd_tpu.core.moments import (
-        flow_from_moments, flow_from_residuals, monomial_features_padded,
+        flow_from_moments, monomial_features_padded,
     )
     from cvo_rgbd_tpu.ops import fused_moments
 
@@ -187,21 +186,11 @@ def test_fused_moments_flow_matches_xla(rng):
     c0 = jnp.sum(x.positions * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
     x_c = x.positions - c0
     phi = monomial_features_padded(x_c)
-    Mom, resid, nnz, wsq_k = fused_moments(
+    Mom, nnz = fused_moments(
         x_c, x.features, x.mask, y.positions - c0, y.features, y.mask,
         phi, ell, p=P, interpret=True,
     )
     scale = max(float(np.linalg.norm(np.asarray(om_ref))), 1e-8)
-    # production path: in-kernel difference residuals
-    om_r, v_r = flow_from_residuals(resid, x_c, c0, c=P.c, d=P.d)
-    np.testing.assert_allclose(
-        np.asarray(om_r), np.asarray(om_ref), rtol=1e-3, atol=1e-3 * scale
-    )
-    np.testing.assert_allclose(
-        np.asarray(v_r), np.asarray(v_ref), rtol=1e-3, atol=1e-6
-    )
-    np.testing.assert_allclose(float(wsq_k), float(wsq_ref), rtol=1e-3)
-    # Mom-derived epilogue (kept as an independent cross-check)
     om, v, wsq, sA = flow_from_moments(Mom, y.positions, c0, c=P.c, d=P.d)
     np.testing.assert_allclose(
         np.asarray(om), np.asarray(om_ref), rtol=1e-3, atol=1e-3 * scale
@@ -235,7 +224,7 @@ def test_fused_moments_step_matches_direct(rng):
     w = x.mask.astype(jnp.float32)
     c0 = jnp.sum(x.positions * w[:, None], 0) / jnp.maximum(jnp.sum(w), 1.0)
     x_c = x.positions - c0
-    Mom, _, _, _ = fused_moments(
+    Mom, _ = fused_moments(
         x_c, x.features, x.mask, y.positions - c0, y.features, y.mask,
         monomial_features_padded(x_c), ell, p=P, interpret=True,
     )
