@@ -913,7 +913,7 @@ def comms_model():
     resource CPU-mesh plumbing numbers to expected efficiency on real
     ICI.  Derivation in docs/PERF.md (comms model section); v5e numbers:
     ~45 GB/s/direction/link ICI, ~1 us small-allreduce latency/hop,
-    measured single-chip tile-pass floor ~190 us at N=M=3072."""
+    measured single-chip tile-pass floor ~228 us at N=M=3072 (r4)."""
     n = m = 3072
     f32 = 4
     floor_us = 228.0                      # measured (bench roofline, r4)

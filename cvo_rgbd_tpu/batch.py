@@ -44,6 +44,7 @@ def run_batch(
     rmax=4.0,
     grid=0.05,
     output=None,
+    min_valid=64,
     log=print,
 ):
     """Pairwise registration over the directory.
@@ -52,6 +53,10 @@ def run_batch(
     registration_time [n-1]).  results[0] is identity; results[i] is
     the relative transform frame i-1 -> frame i, matching the MATLAB
     runner's per-pair affine3d array.
+
+    `min_valid`: clouds with fewer valid points (or any non-finite
+    valid position) mark both their pairs failed (core.cloud.cloud_ok
+    — the MATLAB try/catch-NaN analog for degenerate inputs).
     """
     params = params or MATLAB_PARAMS
     clouds = load_pcd_dir(directory, rmin, rmax, grid)
@@ -75,21 +80,27 @@ def run_batch(
     errors = {}
     from cvo_rgbd_tpu.slam import _compiled_cloud_ok
 
-    ok_fn = _compiled_cloud_ok(64)
+    # ONE cloud_ok dispatch per CLOUD (not per pair side): each extra
+    # dispatch is a ~25-30 ms relay round-trip, and interior clouds
+    # appear in two consecutive pairs.  The per-pair AND happens on the
+    # host after the single drain below.
+    ok_fn = _compiled_cloud_ok(min_valid)
+    ok_handles = [ok_fn(c) for c in padded]
     for i in range(1, n):
         try:
             res = align_jit(params, padded[i - 1], padded[i])
-            # input-sanity flag rides the same drain (cloud_ok): a
-            # degenerate cloud converges to a silent identity, which
-            # the MATLAB runner's try/catch would instead record as a
-            # NaN failure (rgbddataset_rkhs.m:75-80)
-            okd = ok_fn(padded[i - 1]) & ok_fn(padded[i])
-            handles[i] = (res.tf, res.iterations, okd)
+            handles[i] = (res.tf, res.iterations)
         except Exception as e:  # skip-and-mark (rgbddataset_rkhs.m:75-80)
             errors[i] = str(e)
     import jax
 
-    fetched = jax.device_get([handles[i] for i in sorted(handles)])
+    # input-sanity flags ride the same single drain (cloud_ok): a
+    # degenerate cloud converges to a silent identity, which the
+    # MATLAB runner's try/catch would instead record as a NaN failure
+    # (rgbddataset_rkhs.m:75-80)
+    fetched, oks = jax.device_get(
+        ([handles[i] for i in sorted(handles)], ok_handles)
+    )
     per = (time.perf_counter() - t0) / max(n - 1, 1)
     times[:] = per
     drained = dict(zip(sorted(handles), fetched))
@@ -97,8 +108,9 @@ def run_batch(
         if i in errors:
             status = f"FAILED ({errors[i]})"
         else:
-            tf, its, okv = drained[i]
-            if not (bool(okv) and np.isfinite(tf).all()):
+            tf, its = drained[i]
+            okv = bool(oks[i - 1]) and bool(oks[i])
+            if not (okv and np.isfinite(tf).all()):
                 status = "FAILED (non-finite transform or degenerate cloud)"
             else:
                 results[i] = tf

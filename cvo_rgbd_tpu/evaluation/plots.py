@@ -30,17 +30,69 @@ def relative_errors(gt_traj, est_traj):
 
 def load_relative_pose_csv(path):
     """Read the reference's cv_rgbd_poses.csv format: one relative
-    [4,4] transform per frame, rows flattened row-major."""
-    raw = np.loadtxt(path, delimiter=",")
+    [4,4] transform per row.
+
+    The vendored file (data/rgbd_dataset/freiburg1_desk/
+    cv_rgbd_poses.csv:1-3) has a header line and 14 columns:
+    frame1, frame2, tx, ty, tz, r11..r33 (row-major R) — consumed at
+    rgbddataset_cdf_plots.m:91 as
+    `H = [reshape(row(6:end),3,3)', row(3:5)'; 0 0 0 1]` (the MATLAB
+    column-major reshape + transpose IS a row-major read).  Rows with
+    H == I mark frames where the OpenCV VO failed
+    (rgbddataset_cdf_plots.m:93-99).  Headerless 16- and 12-column
+    row-major layouts are also accepted.
+    """
+    raw = np.loadtxt(path, delimiter=",", skiprows=_n_header_rows(path))
     if raw.ndim == 1:
         raw = raw[None, :]
     if raw.shape[1] == 16:
         return raw.reshape(-1, 4, 4)
-    if raw.shape[1] == 12:
+    if raw.shape[1] in (12, 14):
+        if raw.shape[1] == 14:
+            raw = raw[:, 2:]  # drop the frame1/frame2 index columns
         out = np.tile(np.eye(4), (raw.shape[0], 1, 1))
-        out[:, :3, :4] = raw.reshape(-1, 3, 4)
+        out[:, :3, 3] = raw[:, :3]
+        out[:, :3, :3] = raw[:, 3:12].reshape(-1, 3, 3)
         return out
     raise ValueError(f"unsupported csv shape {raw.shape}")
+
+
+def _n_header_rows(path):
+    with open(path) as f:
+        first = f.readline().split(",")[0].strip()
+    try:
+        float(first)
+        return 0
+    except ValueError:
+        return 1
+
+
+def chain_relative_poses(rels, stamps, invert=False):
+    """Chain per-frame relative transforms into an absolute trajectory
+    {t: [4,4]} anchored at identity.
+
+    `rels` [F-1 or F, 4, 4]; a leading identity row (the batch runners'
+    result{1} convention, rgbddataset_rkhs.m:49) is detected and
+    skipped.  `invert=True` chains H^-1 — the cv_rgbd_poses.csv rows
+    store the transform whose INVERSE is the forward frame-to-frame
+    motion (rgbddataset_cdf_plots.m:91-92 applies tfinv before
+    comparing to inv(T_gt[i-1]) @ T_gt[i]).  Non-finite rows (failed
+    pairs) freeze the pose (skip-and-mark continuity).
+    """
+    rels = np.asarray(rels, np.float64)
+    if rels.shape[0] == len(stamps) and np.allclose(rels[0], np.eye(4)):
+        rels = rels[1:]
+    if rels.shape[0] != len(stamps) - 1:
+        raise ValueError(
+            f"{rels.shape[0]} relative poses for {len(stamps)} stamps"
+        )
+    traj = {stamps[0]: np.eye(4)}
+    accum = np.eye(4)
+    for t, H in zip(stamps[1:], rels):
+        if np.isfinite(H).all():
+            accum = accum @ (np.linalg.inv(H) if invert else H)
+        traj[t] = accum
+    return traj
 
 
 def plot_error_cdfs(methods, out_path, title="Relative pose error CDF"):

@@ -368,6 +368,7 @@ def run_odometry_batched(
     batch=8,
     use_native=True,
     motion_prior=False,
+    min_valid=64,
     log=print,
 ):
     """Offline odometry with batched pair registration.
@@ -388,6 +389,12 @@ def run_odometry_batched(
     chunk).  The converged optimum is tolerance-equal; iteration counts
     drop sharply on smooth sequences.  Off by default so batched output
     is independent of chunking.
+
+    `min_valid`: pairs touching a degenerate cloud (fewer valid points,
+    or non-finite valid positions — core.cloud.cloud_ok) are marked
+    failed, exactly as in `run_odometry`: the align loop is total and
+    would otherwise chain a silent identity relative pose (and the
+    `motion_prior` seed must never come from such a lane).
     """
     from cvo_rgbd_tpu.core.cloud import PointCloud
     from cvo_rgbd_tpu.parallel import align_batched
@@ -410,6 +417,19 @@ def run_odometry_batched(
     for i, rgb, dep in make_frame_source(folder, entries, 0, use_native):
         clouds.append(frontend(rgb, dep))
     n_pairs = len(clouds) - 1
+
+    # ONE cloud_ok dispatch per cloud, drained in ONE transfer (each
+    # separate fetch is a ~25-30 ms relay round-trip); the per-pair
+    # AND happens on the host
+    from cvo_rgbd_tpu.slam import _compiled_cloud_ok
+
+    ok_fn = _compiled_cloud_ok(min_valid)
+    import jax as _jax
+
+    cloud_oks = np.asarray(
+        _jax.device_get([ok_fn(c) for c in clouds]), bool
+    )
+    pair_ok = cloud_oks[:-1] & cloud_oks[1:]
 
     from cvo_rgbd_tpu.core.cloud import stack_clouds as stack
 
@@ -469,7 +489,10 @@ def run_odometry_batched(
         tfs, its, cvg, res_R, res_T, res_ell = _fetch(
             res.tf, res.iterations, res.converged, res.R, res.T, res.ell,
         )
-        fin = np.isfinite(tfs).all(axis=(1, 2))
+        # the constant-velocity seed must come from a lane whose INPUTS
+        # were sane, not just one whose transform happens to be finite
+        # (a degenerate cloud converges to a finite identity)
+        fin = np.isfinite(tfs).all(axis=(1, 2)) & pair_ok[np.array(pad)]
         if fin.any():
             last = int(np.max(np.nonzero(fin)[0]))
             prior = (
@@ -494,7 +517,7 @@ def run_odometry_batched(
     with open(output, "w") as traj:
         write_trajectory_line(traj, entries[0].name, accum)
         for i, rel in enumerate(rels):
-            failed = not bool(np.isfinite(rel).all())
+            failed = not (bool(pair_ok[i]) and bool(np.isfinite(rel).all()))
             if not failed:
                 accum = accum @ rel
             write_trajectory_line(traj, entries[i + 1].name, accum)

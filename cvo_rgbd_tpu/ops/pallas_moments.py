@@ -87,7 +87,7 @@ def _moments_body(s_ref, refs, use_ck, ti, linear=False,
     i = pl.program_id(1)
 
     scal = _unpack_scal(s_ref)
-    A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
+    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
 
     phi_tile = phi_ref[pl.ds(i * ti, ti), :]
     contrib = jax.lax.dot_general(

@@ -160,6 +160,15 @@ class KeyframeSlam:
         ok_d = _compiled_cloud_ok(self.config.min_valid)(cloud)
         if not self.keyframes:
             pose = np.eye(4)
+            if not bool(ok_d):
+                # a degenerate frame must never become a keyframe —
+                # including frame 0: seeding the anchor from it would
+                # leave a dead keyframe (self_fip ~ 0) in the graph.
+                # Skip-and-mark at identity and defer seeding to the
+                # first frame that passes cloud_ok.
+                self.frame_poses.append(pose)
+                self.frame_keyframe.append(0)
+                return pose
             cloud_self = float(cloud_self_d)
             self.keyframes.append(
                 Keyframe(index, pose, cloud, self_fip=cloud_self)
@@ -403,6 +412,9 @@ class KeyframeSlam:
 
     def solve(self):
         """Optimize the keyframe graph; returns per-frame corrected poses."""
+        if not self.keyframes:
+            # every frame was degenerate: nothing was ever seeded
+            return list(self.frame_poses), np.zeros((0, 4, 4))
         kf_poses = np.stack([k.pose for k in self.keyframes])
         if len(self.keyframes) < 2:
             return list(self.frame_poses), kf_poses

@@ -180,6 +180,55 @@ def test_multiseq_failure_lane_isolated(degraded_dataset, tmp_path):
         assert all(np.isfinite(v).all() for v in tr.values())
 
 
+def test_batched_odometry_failure_path_fires(degraded_dataset):
+    """run_odometry_batched must fire the same cloud_ok skip-and-mark
+    gate as the sequential driver (ADVICE r4): the two pairs touching
+    the dropped frame are failed — not silently chained as identity —
+    and the pose chain carries through, in both the deferred-fetch and
+    motion_prior paths."""
+    from cvo_rgbd_tpu.odometry import run_odometry_batched
+
+    root, _ = degraded_dataset
+    for prior in (False, True):
+        out = os.path.join(root, f"deg_batched_{int(prior)}.txt")
+        records = run_odometry_batched(
+            str(root), 1, params=P, num_want=NUM_WANT, batch=4,
+            output=out, motion_prior=prior, log=lambda *a: None,
+        )
+        failed = {r.index for r in records if r.failed}
+        assert failed == {DROP, DROP + 1}, (prior, failed)
+        est = read_trajectory(out)
+        entries = load_assoc(os.path.join(root, "assoc.txt"))
+        names = [float(e.name) for e in entries]
+        np.testing.assert_allclose(est[names[DROP]], est[names[DROP - 1]])
+        np.testing.assert_allclose(est[names[DROP + 1]], est[names[DROP - 1]])
+
+
+def test_slam_degenerate_first_frame_defers_seeding(degraded_dataset):
+    """A degenerate frame 0 must not become the anchor keyframe
+    (ADVICE r4): seeding is deferred to the first frame that passes
+    cloud_ok, and the skipped frame holds the identity pose."""
+    from cvo_rgbd_tpu.keyframes import KeyframePolicy
+    from cvo_rgbd_tpu.slam import KeyframeSlam, SlamConfig
+
+    root, _ = degraded_dataset
+    entries = load_assoc(os.path.join(root, "assoc.txt"))
+    frontend = make_frontend(1, NUM_WANT, 1)
+    slam = KeyframeSlam(P, SlamConfig(keyframe=KeyframePolicy(max_span=6)))
+    # feed the dropped frame FIRST, then good frames
+    order = [DROP, 1, 2, 3]
+    for i, j in enumerate(order):
+        slam.process(i, frontend(*load_image_pair(root, entries[j])))
+    # frame 0 (degenerate) was skip-and-marked at identity, not seeded
+    assert slam.keyframes[0].index == 1, [k.index for k in slam.keyframes]
+    np.testing.assert_allclose(slam.frame_poses[0], np.eye(4))
+    assert slam.keyframes[0].self_fip > 0
+    # subsequent frames register normally off the deferred anchor
+    assert np.isfinite(slam.frame_poses[-1]).all()
+    poses, kf_poses = slam.solve()
+    assert len(poses) == len(order)
+
+
 def test_slam_failure_no_keyframe_from_bad_frame(degraded_dataset):
     """KeyframeSlam skip-and-marks the degenerate frame, repeats the
     pose, and never promotes the bad frame to a keyframe."""

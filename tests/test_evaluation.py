@@ -93,3 +93,65 @@ def test_rpe_constant_error():
     est = _make_traj(30, [0.009, 0, 0], [0, 0, 0])
     stats = rpe(gt, est, delta=1, delta_unit="f")
     np.testing.assert_allclose(stats["trans_rmse"], 0.001, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Real-data baseline minting (VERDICT r4 item 2): the vendored fr1/desk
+# artifacts are the only reference baselines mintable in this
+# environment; these tests pin the parser to the REAL files and the
+# minted numbers to BASELINE.md.
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+
+_DS = "/root/reference/data/rgbd_dataset/freiburg1_desk"
+needs_fixture = pytest.mark.skipif(
+    not os.path.exists(os.path.join(_DS, "cv_rgbd_poses.csv")),
+    reason="reference dataset not vendored",
+)
+
+
+@needs_fixture
+def test_load_relative_pose_csv_real_file():
+    """The parser handles the actual vendored header + 14-column format
+    (frame1, frame2, tx..tz, r11..r33 row-major)."""
+    from cvo_rgbd_tpu.evaluation.plots import load_relative_pose_csv
+
+    rels = load_relative_pose_csv(os.path.join(_DS, "cv_rgbd_poses.csv"))
+    assert rels.shape == (572, 4, 4)
+    # rotations are orthonormal (R R' = I) and the affine tail is exact
+    for H in rels[:10]:
+        np.testing.assert_allclose(H[:3, :3] @ H[:3, :3].T, np.eye(3),
+                                   atol=1e-4)
+        np.testing.assert_array_equal(H[3], [0, 0, 0, 1])
+    # first row spot-check against the raw file (cv_rgbd_poses.csv:2)
+    np.testing.assert_allclose(
+        rels[0, :3, 3], [0.0025633, -0.0007702, 0.00954718]
+    )
+    np.testing.assert_allclose(rels[0, 0, :3], [0.99963, 0.021072, -0.0172221])
+    # exactly 5 identity rows = OpenCV failure frames
+    ident = sum(bool(np.allclose(H, np.eye(4))) for H in rels)
+    assert ident == 5
+
+
+@needs_fixture
+def test_minted_fr1_desk_baselines():
+    """The two in-tree baselines evaluate to the BASELINE.md numbers,
+    and the documented chain conventions beat their alternatives."""
+    from cvo_rgbd_tpu.evaluation import mint_fr1_desk_baselines
+    from cvo_rgbd_tpu.evaluation.plots import (
+        chain_relative_poses, load_relative_pose_csv,
+    )
+    from cvo_rgbd_tpu.io.tum import load_assoc, read_trajectory
+
+    stats = mint_fr1_desk_baselines(_DS)
+    assert abs(stats["opencv_vo"]["rmse"] - 0.3066) < 2e-3
+    assert abs(stats["matlab_cvo"]["rmse"] - 0.1494) < 2e-3
+    # the wrong chain direction degrades RMSE ~2x (convention check)
+    stamps = [float(e.name) for e in load_assoc(os.path.join(_DS, "assoc.txt"))]
+    gt = read_trajectory(os.path.join(_DS, "groundtruth.txt"))
+    rels = load_relative_pose_csv(os.path.join(_DS, "cv_rgbd_poses.csv"))
+    wrong = ate_rmse(gt, chain_relative_poses(rels, stamps, invert=False))
+    assert wrong["rmse"] > 1.5 * stats["opencv_vo"]["rmse"]
