@@ -177,35 +177,57 @@ def _isolated_moment_sweep_us(params, fixed, moving, b8=8, lo=10, hi=60,
     from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
 
     def prep(f, m):
+        # mirror the production body: kd-sorted clouds + AABB prune
+        # matrices (loop-invariant here — y never transforms in the
+        # isolated sweep, so md_xy is fixed too)
+        from cvo_rgbd_tpu.core.cloud import kd_sort
+        from cvo_rgbd_tpu.ops.pallas_gram import (
+            _tile, aabb_min_d2, block_bounds,
+        )
+
+        f, m = kd_sort(f), kd_sort(m)
         c0, x_c, phi = build_moments_pre(params, f)
         ck = build_ck_caches(params, adaptive, f, m)
         ck_xy, ck_xx, ck_yy = ck if ck else (None, None, None)
-        return (x_c, f.features, f.mask, m.positions - c0, m.features,
-                m.mask, phi, ck_xy) + (
-                    (f.positions, m.positions, ck_xx, ck_yy)
-                    if adaptive else ()
-                )
+        lo_x, hi_x = block_bounds(
+            f.positions, f.mask, _tile(f.positions.shape[0])
+        )
+        lo_y, hi_y = block_bounds(
+            m.positions, m.mask, _tile(m.positions.shape[0])
+        )
+        md_xy = aabb_min_d2(lo_x, hi_x, lo_y, hi_y)
+        out = (x_c, f.features, f.mask, m.positions - c0, m.features,
+               m.mask, phi, ck_xy, md_xy)
+        if adaptive:
+            out += (f.positions, m.positions, ck_xx, ck_yy,
+                    aabb_min_d2(lo_x, hi_x, lo_x, hi_x),
+                    aabb_min_d2(lo_y, hi_y, lo_y, hi_y))
+        return out
 
     pre = [prep(f, m) for f, m in zip(fixed[:b8], moving[:b8])]
     nargs = len(pre[0])
     batch = tuple(jnp.stack([p[i] for p in pre]) for i in range(nargs))
 
     def one(ell0, *args, k):
-        (x_c, xf, xm, y_c, yf, ym, phi, ck_xy), rest = args[:8], args[8:]
+        (x_c, xf, xm, y_c, yf, ym, phi, ck_xy, md_xy) = args[:9]
+        rest = args[9:]
 
         def body(ell, _):
             Mom, nnz = fused_moments(
-                x_c, xf, xm, y_c, yf, ym, phi, ell, ck_xy, p=params,
+                x_c, xf, xm, y_c, yf, ym, phi, ell, ck_xy, md_xy,
+                p=params,
             )
             # feed a kernel output into the next ell: serializes the
             # scan and keeps every sweep live
             out = ell + 1e-12 * Mom[0, 0] + 1e-12 * nnz
             if adaptive:
-                x_pos, y_pos, ck_xx, ck_yy = rest
+                x_pos, y_pos, ck_xx, ck_yy, md_xx, md_yy = rest
                 wxx, nxx = fused_wsq(x_pos, xf, xm, x_pos, xf, xm, ell,
-                                     ck_xx, p=params, symmetric=True)
+                                     ck_xx, md_xx, p=params,
+                                     symmetric=True)
                 wyy, nyy = fused_wsq(y_pos, yf, ym, y_pos, yf, ym, ell,
-                                     ck_yy, p=params, symmetric=True)
+                                     ck_yy, md_yy, p=params,
+                                     symmetric=True)
                 out = out + 1e-12 * (wxx + wyy + nxx + nyy)
             return out, None
 
@@ -743,8 +765,60 @@ def bench_sequence_full(n_frames=573, period=33):
             gt, {names[i]: solved_b[i] for i in range(n_frames)}
         )
 
+        # ---- FULL reference workload (VERDICT r4 item 3): the same
+        # 573-frame trajectory rendered at 320x240 so the selector can
+        # deliver num_want=3000 points/frame (pcd_generator.cpp:22),
+        # registered at the C++ shipped stops (cvo.cpp:40-41) on the
+        # production pallas backend — cvo AND acvo, ATE/RPE/fps.
+        from cvo_rgbd_tpu.synth import BandScene
+
+        root_fw = tempfile.mkdtemp(prefix="cvo_seq573_fw_")
+        fw_blocks = {}
+        try:
+            make_tum_dataset(
+                root_fw, revisit_path(n_frames, period=period),
+                scene=BandScene(h=240, w=320),
+            )
+            gt_fw = read_trajectory(os.path.join(root_fw, "groundtruth.txt"))
+            for tag, adaptive_, p_fw in (
+                ("cvo", False, CvoParams(backend="pallas")),
+                ("acvo", True, AcvoParams(backend="pallas")),
+            ):
+                out_fw = os.path.join(root_fw, f"{tag}_poses_qt.txt")
+                t0 = time.perf_counter()
+                recs_fw = run_odometry(
+                    root_fw, 1, adaptive=adaptive_, params=p_fw,
+                    num_want=3000, output=out_fw, log=lambda *a: None,
+                )
+                dt_fw = time.perf_counter() - t0
+                est_fw = read_trajectory(out_fw)
+                st_fw = ate_rmse(gt_fw, est_fw)
+                rp_fw = rpe(gt_fw, est_fw, delta=1.0, delta_unit="s")
+                fw_blocks[tag] = {
+                    "ate_rmse_m": round(st_fw["rmse"], 4),
+                    "rpe_trans_rmse_m": round(rp_fw["trans_rmse"], 4),
+                    "rpe_rot_rmse_rad": round(rp_fw["rot_rmse"], 4),
+                    "fps_warm": round(1.0 / float(np.median(
+                        [x.seconds for x in recs_fw[1:]]
+                    )), 1),
+                    "wall_s": round(dt_fw, 1),
+                    "mean_iterations": round(float(np.mean(
+                        [x.iterations for x in recs_fw]
+                    )), 1),
+                    "failed_pairs": int(sum(x.failed for x in recs_fw)),
+                }
+            fw_blocks["mode"] = (
+                "num_want=3000 (cap 3072, pcd_generator.cpp:22), C++ "
+                "shipped stops eps=5e-5/1e-5 (cvo.cpp:40-41), pallas "
+                "backend, 320x240 render of the same 573-frame revisit "
+                "trajectory"
+            )
+        finally:
+            shutil.rmtree(root_fw, ignore_errors=True)
+
         return {
             "frames": n_frames,
+            "full_workload": fw_blocks,
             "odometry": {
                 "ate_rmse_m": round(stats["rmse"], 4),
                 "rpe_trans_rmse_m": round(r["trans_rmse"], 4),
@@ -907,28 +981,105 @@ def bench_degraded(n_frames=100, drop_frame=50):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_fused_reference_scale():
+    """Whole-align TILED mega-kernel at the reference workload
+    (VERDICT r4 item 4): single-dispatch N=M=3072 aligns, single-pair
+    per-iteration slope vs the per-iteration pallas backend, plus
+    convergence at the C++ shipped stops.  Single-pair (not batch-8):
+    the mega-kernel is the single-pair latency product — one Pallas
+    program per align, no XLA loop machinery."""
+    import dataclasses
+    import functools
+
+    import jax
+
+    from cvo_rgbd_tpu import AcvoParams, CvoParams
+    from cvo_rgbd_tpu.core.registration import align
+
+    out = {}
+    for tag, Base, hsv in (("cvo", CvoParams, False),
+                           ("acvo", AcvoParams, True)):
+        fixed, moving, truth = synth_reference_scale(n_pairs=4,
+                                                     hsv_scale=hsv)
+        p_f = Base(backend="fused", max_iter=400)
+        fn = jax.jit(functools.partial(align, p_f))
+        t0 = time.perf_counter()
+        res = fn(fixed[0], moving[0])
+        jax.block_until_ready(res.tf)
+        compile_s = time.perf_counter() - t0
+        # C++-stop convergence + pose error on 4 pairs
+        iters, conv, errs = [], 0, []
+        for f, m, tr in zip(fixed, moving, truth):
+            r = fn(f, m)
+            tf = np.asarray(r.tf)
+            iters.append(int(r.iterations))
+            conv += int(bool(r.converged))
+            errs.append(float(np.linalg.norm(tf[:3, 3] - tr[:3, 3])) * 1e3)
+        # fixed-iteration slope (single pair)
+        slope = {}
+        for name, pp in (("fused", p_f),
+                         ("pallas", Base(backend="pallas"))):
+            ts_by = {}
+            for it in (10, 60):
+                pi = dataclasses.replace(pp, eps=0.0, eps_2=0.0,
+                                         max_iter=it)
+                f2 = jax.jit(functools.partial(align, pi))
+                jax.block_until_ready(f2(fixed[0], moving[0]).tf)
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(f2(fixed[0], moving[0]).tf)
+                    ts.append(time.perf_counter() - t0)
+                ts_by[it] = float(np.min(ts))
+            slope[name] = (ts_by[60] - ts_by[10]) / 50.0 * 1e3
+        out[tag] = {
+            "ms_per_iteration": round(slope["fused"], 4),
+            "pallas_single_pair_ms_it": round(slope["pallas"], 4),
+            "speedup_vs_pallas": round(
+                slope["pallas"] / max(slope["fused"], 1e-9), 2
+            ),
+            "cpp_stops_converged": f"{conv}/4",
+            "mean_iterations": round(float(np.mean(iters)), 1),
+            "median_translation_err_mm": round(float(np.median(errs)), 2),
+            "compile_s": round(compile_s, 1),
+        }
+    out["mode"] = (
+        "tiled whole-align Pallas kernel (ops/pallas_align.py "
+        "_make_tiled_kernel): while_loop on scalar carries, per-"
+        "iteration (256,256) tile sweep into a [128,M] momT scratch, "
+        "in-kernel AABB tile pruning; N=M=3072 single dispatch"
+    )
+    return out
+
+
 def comms_model():
     """Collective-payload model per align iteration for each parallel
-    mode (VERDICT r3 item 7) — the analytic bridge from the flat-
-    resource CPU-mesh plumbing numbers to expected efficiency on real
-    ICI.  Derivation in docs/PERF.md (comms model section); v5e numbers:
-    ~45 GB/s/direction/link ICI, ~1 us small-allreduce latency/hop,
-    measured single-chip tile-pass floor ~228 us at N=M=3072 (r4)."""
+    mode (VERDICT r3 item 7, refreshed r5 per VERDICT r4 item 8) — the
+    analytic bridge from the flat-resource CPU-mesh plumbing numbers to
+    expected efficiency on real ICI.  Derivation in docs/PERF.md; v5e
+    numbers: ~45 GB/s/direction/link ICI, ~1 us small-allreduce
+    latency/hop.  The compute floor is the MEASURED per-device cost of
+    the Pallas moment path now running inside the sharded/ring inners
+    (scripts/tpu_validate_r5: sharded sp=1 ratio 1.04/1.00 vs the
+    single-chip slope with kd-sort + AABB tile skip on)."""
     n = m = 3072
     f32 = 4
-    floor_us = 228.0                      # measured (bench roofline, r4)
+    floor_us = 183.0    # measured r5: cvo ms/iter with tile skip
     lat_us = 1.0                          # per-hop small-collective
     for_devs = (4, 8, 16)
 
-    # sp_shard: x sharded, y replicated; per iteration psums of
-    # omega(3) v(3) B..E(4) [+ dl terms for acvo] = ~16 f32 scalars in
-    # ~8 latency-bound psum calls; one x all_gather at setup only.
-    sp_bytes = 16 * f32
-    sp_psums = 8
-    # ring: y circulates in blocks; per sweep every device forwards its
-    # M/n block x (3 pos + 5 feat + 1 mask) f32 through n-1 hops; two
-    # sweeps per iteration (flow, then omega-dependent step).
-    ring_bytes_per_iter = 2 * m * 9 * f32     # total cycled per device
+    # sp_shard: x sharded, y replicated; per-device local compute is
+    # the SAME fused_moments sweep as single-chip; all partial
+    # reductions ride TWO packed psums (flow pack, then B..E after
+    # omega is known) of ~16-24 f32 scalars.
+    sp_bytes = 24 * f32
+    sp_psums = 2
+    # ring (pallas path): ONE sweep per iteration — the visiting y
+    # block carries its 35-column moment block around the ring, so per
+    # hop a device forwards (M/n)*(9 planes + 35 mom) f32; the
+    # omega-dependent second sweep of the XLA path is gone.  acvo adds
+    # the x block (9 planes) to the payload.
+    ring_bytes_per_iter = m * (9 + 35) * f32  # total cycled per device
     # dp: no per-iteration collectives (independent pairs).
     out = {
         "sp_shard": {
@@ -942,7 +1093,9 @@ def comms_model():
         },
         "dp": {"bytes_per_iter": 0, "pred_eff": {d: 1.0 for d in for_devs}},
         "assumptions": "v5e ICI 45 GB/s/dir/link, 1 us/hop latency, "
-        "measured 228 us single-chip tile pass at N=M=3072 (r4, incl. exp_neg); "
+        "measured 183 us/iter per-device Pallas-sharded floor at "
+        "N=M=3072 (r5: fused_moments + kd-sort + AABB tile skip; "
+        "sharded sp=1 == single-chip slope, tpu_validate_r5 legs); "
         "eff = t_comp/N / (t_comp/N + t_comms); derivation docs/PERF.md",
     }
     for d in for_devs:
@@ -952,8 +1105,8 @@ def comms_model():
         # ring hop: block transfer time + latency, n-1 hops/sweep,
         # overlappable with the block's compute in a tuned kernel —
         # modeled UNOVERLAPPED (pessimistic)
-        blk_bytes = (m // d) * 9 * f32
-        t_ring = 2 * (d - 1) * (blk_bytes / 45e9 * 1e6 + lat_us)
+        blk_bytes = (m // d) * (9 + 35) * f32
+        t_ring = (d - 1) * (blk_bytes / 45e9 * 1e6 + lat_us)
         out["ring"]["pred_eff"][d] = round(comp / (comp + t_ring), 2)
     return out
 
@@ -1146,6 +1299,8 @@ def main():
     full["ref_tolerance"] = ref_scale.pop("ref_tolerance")
     full["reference_scale"] = ref_scale
     checkpoint()
+    full["fused_ref_scale"] = bench_fused_reference_scale()
+    checkpoint()
     full["oracle_traj"] = bench_oracle_traj()
     full["degraded"] = bench_degraded()
     checkpoint()
@@ -1195,6 +1350,16 @@ def compact_line(full):
             "cvo": _ref(rs["cvo"]),
             "acvo": _ref(rs["acvo"]),
         }
+    if "fused_ref_scale" in full:
+        fr = full["fused_ref_scale"]
+        c["fused3072"] = {
+            t: {
+                "ms_it": fr[t]["ms_per_iteration"],
+                "x_vs_pallas": fr[t]["speedup_vs_pallas"],
+                "conv": fr[t]["cpp_stops_converged"],
+            }
+            for t in ("cvo", "acvo") if t in fr
+        }
     if "sequence" in full:
         seq = full["sequence"]
         c["seq100"] = {
@@ -1223,6 +1388,17 @@ def compact_line(full):
                 "solved_m": s573["slam"]["ate_rmse_solved_m"],
             },
         }
+        fw = s573.get("full_workload") or {}
+        if "cvo" in fw:
+            c["seq573"]["full3000"] = {
+                t: {
+                    "ate_m": fw[t]["ate_rmse_m"],
+                    "fps": fw[t]["fps_warm"],
+                    "it": fw[t]["mean_iterations"],
+                    "fail": fw[t]["failed_pairs"],
+                }
+                for t in ("cvo", "acvo") if t in fw
+            }
         ba = s573["slam"].get("bundle_adjustment")
         if ba:
             c["seq573"]["ba"] = {

@@ -99,13 +99,18 @@ def make_align_step(p, adaptive: bool):
         if adaptive and p.yy_quirk:
             raise ValueError("yy_quirk emulation requires backend='xla'")
         from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
+        from cvo_rgbd_tpu.ops.pallas_gram import (
+            _tile, aabb_min_d2, block_bounds,
+        )
         from cvo_rgbd_tpu.core.cubic import cubic_roots, min_positive_root
         from cvo_rgbd_tpu.core.moments import (
             flow_from_moments, step_from_moments,
         )
 
+    use_skip = use_pallas and getattr(p, "tile_skip", True)
+
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
-             ck_caches=None, moments_pre=None):
+             ck_caches=None, moments_pre=None, skip_pre=None):
         tf_R, tf_T = se3.se3_inv(state.R, state.T)
         tf = se3.make_se3(tf_R, tf_T)
         y_pos = transform_cloud(tf_R, tf_T, moving.positions)
@@ -126,26 +131,40 @@ def make_align_step(p, adaptive: bool):
             # (core/moments.py) — the reference's two nnz(A) traversals
             # (cvo.cpp:164-308) collapse into one pass.
             c0, x_c, phi = moments_pre
+            md_xy = md_xx = md_yy = None
+            if use_skip:
+                # exact AABB tile pruning (pallas_gram.block_bounds):
+                # x bounds are loop-invariant (skip_pre); y bounds move
+                # with the transform — O(M) reduce per iteration.  The
+                # gap computation is shift-invariant, so uncentered
+                # bounds serve the centered kernel coordinates.
+                lo_x, hi_x, md_xx, md_yy = skip_pre
+                lo_y, hi_y = block_bounds(
+                    y_pos, moving.mask, _tile(y_pos.shape[0])
+                )
+                md_xy = aabb_min_d2(lo_x, hi_x, lo_y, hi_y)
             Mom, nnz_xy = fused_moments(
                 x_c, fixed.features, fixed.mask,
                 y_pos - c0, moving.features, moving.mask,
-                phi, state.ell, ck_xy, p=p,
+                phi, state.ell, ck_xy, md_xy, p=p,
             )
             omega, v, wsq_xy, _ = flow_from_moments(
                 Mom, y_pos, c0, c=p.c, d=p.d
             )
             if adaptive:
                 # self-kernels only feed the dl reduction — lean sweeps
-                # (adaptive_cvo.cpp:156-160, 222-271)
+                # (adaptive_cvo.cpp:156-160, 222-271); their distance
+                # tiles are rigid-invariant, so the AABB prune matrices
+                # come fixed from skip_pre (VERDICT r4 item 5)
                 wsq_xx, nnz_xx = fused_wsq(
                     fixed.positions, fixed.features, fixed.mask,
                     fixed.positions, fixed.features, fixed.mask,
-                    state.ell, ck_xx, p=p, symmetric=True,
+                    state.ell, ck_xx, md_xx, p=p, symmetric=True,
                 )
                 wsq_yy, nnz_yy = fused_wsq(
                     y_pos, moving.features, moving.mask,
                     y_pos, moving.features, moving.mask, state.ell, ck_yy,
-                    p=p, symmetric=True,
+                    md_yy, p=p, symmetric=True,
                 )
                 ell3 = state.ell ** 3
                 numer = (wsq_yy - 2.0 * wsq_xy + wsq_xx) / ell3
@@ -330,6 +349,33 @@ def build_moments_pre(p, fixed: PointCloud):
     return c0, x_c, monomial_features_padded(x_c)
 
 
+def build_skip_pre(p, adaptive, fixed: PointCloud, moving: PointCloud):
+    """Loop-invariant AABB tile-prune state for the pallas backend:
+    (lo_x, hi_x, md_xx, md_yy).  The fixed cloud never moves; the
+    self-kernel distance tiles are rigid-invariant (d2 between two
+    points of the SAME rigidly-transformed cloud never changes), so
+    their prune matrices are computed ONCE per align from the
+    untransformed clouds (adaptive_cvo.cpp:156-160's per-iteration
+    recomputation out-designed).  md_xx/md_yy are None for cvo."""
+    if getattr(p, "backend", "xla") != "pallas" or not getattr(
+        p, "tile_skip", True
+    ):
+        return None
+    from cvo_rgbd_tpu.ops.pallas_gram import _tile, aabb_min_d2, block_bounds
+
+    lo_x, hi_x = block_bounds(
+        fixed.positions, fixed.mask, _tile(fixed.positions.shape[0])
+    )
+    md_xx = md_yy = None
+    if adaptive:
+        md_xx = aabb_min_d2(lo_x, hi_x, lo_x, hi_x)
+        lo_y, hi_y = block_bounds(
+            moving.positions, moving.mask, _tile(moving.positions.shape[0])
+        )
+        md_yy = aabb_min_d2(lo_y, hi_y, lo_y, hi_y)
+    return lo_x, hi_x, md_xx, md_yy
+
+
 def align(
     p,
     fixed: PointCloud,
@@ -370,6 +416,15 @@ def align(
         from cvo_rgbd_tpu.ops.pallas_align import align_fused, fused_eligible
 
         if fused_eligible(p, fixed, moving):
+            # compact tiles for the in-kernel AABB pruning; applied
+            # regardless of tile_skip so skip on/off stays bitwise
+            # comparable (see the pallas-backend branch below)
+            from cvo_rgbd_tpu.core.cloud import kd_sort
+
+            if fixed.positions.shape[0] % 128 == 0:
+                fixed = kd_sort(fixed)
+            if moving.positions.shape[0] % 128 == 0:
+                moving = kd_sort(moving)
             return align_fused(p, fixed, moving, R0, T0, ell0)
         quirk = adaptive and p.yy_quirk
         lin_acvo = adaptive and p.color_mode == "linear"
@@ -384,6 +439,17 @@ def align(
         p = dataclasses.replace(
             p, backend="xla" if quirk or lin_acvo or unaligned else "pallas"
         )
+    if getattr(p, "backend", "xla") == "pallas":
+        # Morton-order both clouds (core/cloud.spatial_sort): point
+        # order is semantically irrelevant, but compact tiles are what
+        # lets the AABB pruning actually skip — raster/sample order
+        # gives every tile a scene-wide bounding box.  Unconditional
+        # under the pallas backend so tile_skip on/off stays bitwise
+        # comparable.
+        from cvo_rgbd_tpu.core.cloud import kd_sort
+
+        fixed = kd_sort(fixed)
+        moving = kd_sort(moving)
     dtype = jnp.float32
     R0 = jnp.eye(3, dtype=dtype) if R0 is None else jnp.asarray(R0, dtype)
     T0 = jnp.zeros(3, dtype=dtype) if T0 is None else jnp.asarray(T0, dtype)
@@ -407,12 +473,13 @@ def align(
     body = make_align_step(p, adaptive)
     ck_caches = build_ck_caches(p, adaptive, fixed, moving)
     moments_pre = build_moments_pre(p, fixed)
+    skip_pre = build_skip_pre(p, adaptive, fixed, moving)
 
     def cond_fn(s: AlignState):
         return (s.k < p.max_iter) & ~s.converged
 
     def body_fn(s: AlignState):
-        return body(s, fixed, moving, ci, ck_caches, moments_pre)
+        return body(s, fixed, moving, ci, ck_caches, moments_pre, skip_pre)
 
     final = jax.lax.while_loop(cond_fn, body_fn, init)
 

@@ -320,6 +320,46 @@ def _check(n, m):
     _tile(n), _tile(m)
 
 
+# ---------------------------------------------------------------------------
+# Exact tile-level sparsity skipping (the kd-tree radius pruning of
+# cvo.cpp:102, 119-125 reborn at MXU-tile granularity)
+# ---------------------------------------------------------------------------
+
+def block_bounds(pos, mask, tile):
+    """Per-tile AABBs of the valid points: [nb,3] lo and hi.
+
+    Invalid slots are excluded via +/-inf sentinels; an all-invalid
+    tile gets lo=+inf / hi=-inf, which makes every pairwise lower
+    bound +inf — i.e. padding tiles are skipped outright (their Gram
+    entries are exactly 0 through the mask gate anyway)."""
+    n = pos.shape[0]
+    nb = n // tile
+    p = pos.reshape(nb, tile, 3)
+    valid = (mask.reshape(nb, tile) > 0)[..., None]
+    lo = jnp.min(jnp.where(valid, p, jnp.inf), axis=1)
+    hi = jnp.max(jnp.where(valid, p, -jnp.inf), axis=1)
+    return lo, hi
+
+
+def aabb_min_d2(lo_x, hi_x, lo_y, hi_y):
+    """[nbx, nby] lower bounds on the pairwise squared distance between
+    any point of x-tile i and any point of y-tile j.
+
+    The bound is exact-conservative: min_d2[i, j] > d2_thres implies
+    EVERY pair in the tile fails the position gate (d2 < d2_thres,
+    cvo.cpp:119-125), so the tile's Gram block is exactly zero and the
+    kernels may skip it without changing a single computed bit."""
+    gap1 = lo_y[None, :, :] - hi_x[:, None, :]
+    gap2 = lo_x[:, None, :] - hi_y[None, :, :]
+    gap = jnp.maximum(jnp.maximum(gap1, gap2), 0.0)
+    return jnp.sum(gap * gap, axis=-1)
+
+
+def _min_d2_spec(nbi, nbj):
+    return pl.BlockSpec((nbi, nbj), lambda *_: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+
 def _color_kernel(s_ref, *refs):
     """Cached color kernel tile: cs2*exp(-d2c/2cl^2) with zeros where
     the color gate (cvo.cpp:148) or the validity masks fail."""

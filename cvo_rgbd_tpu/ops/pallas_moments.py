@@ -39,6 +39,7 @@ from cvo_rgbd_tpu.ops.pallas_gram import (
     _acc_update,
     _auto_interpret,
     _check,
+    _min_d2_spec,
     _pack_x,
     _pack_y,
     _pair_tile,
@@ -49,17 +50,27 @@ from cvo_rgbd_tpu.ops.pallas_gram import (
 
 MOM_WIDTH = 128  # lane-aligned moment width (35 real columns)
 
+# Conservative margin on the tile-skip comparison: the AABB bound is
+# computed from (possibly differently-rounded) coordinates than the
+# in-kernel d2, so a boundary-hair pair could gate IN while the bound
+# says OUT.  d2 fp32 noise is ~3e-8 m^2 at scene scale; 1e-5 m^2 of
+# slack skips essentially nothing extra and makes the skip exact.
+SKIP_MARGIN = 1e-5
 
-def _make_moments_kernel(use_ck, ti, linear=False, fast_exp=False):
+
+def _make_moments_kernel(use_ck, ti, linear=False, fast_exp=False,
+                         use_skip=False):
     def kernel(s_ref, *refs):
-        return _moments_body(s_ref, refs, use_ck, ti, linear, fast_exp)
+        return _moments_body(s_ref, refs, use_ck, ti, linear, fast_exp,
+                             use_skip)
 
     return kernel
 
 
 def _moments_body(s_ref, refs, use_ck, ti, linear=False,
-                  fast_exp=False):
-    """refs: 9 x-planes, 9 y-planes, phi, [ck,] mom_out, acc_out.
+                  fast_exp=False, use_skip=False):
+    """refs: 9 x-planes, 9 y-planes, phi, [ck,] [min_d2,] mom_out,
+    acc_out.
 
     Grid is (j, i) with i innermost so the [TJ, 128] moment block stays
     VMEM-resident while the row tiles of its column sweep by.  Phi is
@@ -76,53 +87,78 @@ def _moments_body(s_ref, refs, use_ck, ti, linear=False,
     iteration, so it is the production path (docs/PERF.md round-4
     study).
 
+    `use_skip`: an SMEM [nbi, nbj] matrix of AABB lower bounds on the
+    tile-pair squared distance gates the whole tile body — tiles whose
+    bound exceeds the position-gate radius d2_thres contribute exactly
+    zero (every entry fails d2 < d2_thres, cvo.cpp:119-125), so
+    skipping them changes no computed bit.  This is the reference's
+    kd-tree radius pruning at MXU-tile granularity; at the converged
+    length-scales (ell 0.03-0.06 -> 2-4 cm gate radius) most tiles of
+    a room-scale cloud skip.
+
     Accumulator row 0: col 0 nnz."""
     xrefs, yrefs = refs[:9], refs[9:18]
     phi_ref = refs[18]
+    idx = 19
+    ck_ref = None
+    md_ref = None
     if use_ck:
-        ck_ref, mom_ref, acc_ref = refs[19], refs[20], refs[21]
-    else:
-        ck_ref, mom_ref, acc_ref = None, refs[19], refs[20]
+        ck_ref = refs[idx]
+        idx += 1
+    if use_skip:
+        md_ref = refs[idx]
+        idx += 1
+    mom_ref, acc_ref = refs[idx], refs[idx + 1]
     j = pl.program_id(0)
     i = pl.program_id(1)
 
     scal = _unpack_scal(s_ref)
-    A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
-
-    phi_tile = phi_ref[pl.ds(i * ti, ti), :]
-    contrib = jax.lax.dot_general(
-        A,
-        phi_tile,
-        (((0,), (0,)), ((), ())),          # A^T @ Phi -> [TJ, 128]
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
 
     @pl.when(i == 0)
     def _():
-        mom_ref[:, :] = contrib
-
-    @pl.when(i > 0)
-    def _():
-        mom_ref[:, :] += contrib
+        mom_ref[:, :] = jnp.zeros_like(mom_ref)
 
     @pl.when((i == 0) & (j == 0))
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
-    nnz = jnp.sum((A > 0).astype(jnp.float32))
-    acc_ref[:, :] += _acc_update([nnz])
+    def work():
+        A, _ = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
+        phi_tile = phi_ref[pl.ds(i * ti, ti), :]
+        contrib = jax.lax.dot_general(
+            A,
+            phi_tile,
+            (((0,), (0,)), ((), ())),          # A^T @ Phi -> [TJ, 128]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        mom_ref[:, :] += contrib
+        nnz = jnp.sum((A > 0).astype(jnp.float32))
+        acc_ref[:, :] += _acc_update([nnz])
+
+    if use_skip:
+        d2_thres = scal[5]
+
+        @pl.when(md_ref[i, j] <= d2_thres + SKIP_MARGIN)
+        def _():
+            work()
+    else:
+        work()
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret"))
-def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
-                  interpret=None):
+def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, min_d2=None,
+                  *, p, interpret=None):
     """One-sweep moment accumulation: returns (Mom [M, 128], nnz).
 
     `xp`/`yp` are the CENTERED positions (x - c0, y - c0 — the pair
     distances are shift-invariant so A is unchanged); `phi` is
     monomial_features_padded(x - c0) [N, 128], computed once per pair
-    (the fixed cloud never transforms).  `ck` as in fused_flow."""
+    (the fixed cloud never transforms).  `ck` as in fused_flow.
+
+    `min_d2` [nbi, nbj] (from ops.pallas_gram.block_bounds +
+    aabb_min_d2, in the SAME coordinate shift as xp/yp): exact
+    tile-level skip of pairs the position gate excludes wholesale."""
     interpret = _auto_interpret(interpret)
     linear = p.color_mode == "linear"
     fast_exp = getattr(p, "exp_mode", "precise") == "fast"
@@ -143,19 +179,27 @@ def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
     phi_spec = pl.BlockSpec((n, MOM_WIDTH), lambda j, i: (0, 0),
                             memory_space=pltpu.VMEM)
     use_ck = ck is not None
-    ck_spec = [
-        pl.BlockSpec((ti, tj), lambda j, i: (i, j), memory_space=pltpu.VMEM)
-    ] if use_ck else []
-    extra = (ck,) if use_ck else ()
+    use_skip = min_d2 is not None
+    extra_specs = []
+    extra = ()
+    if use_ck:
+        extra_specs.append(
+            pl.BlockSpec((ti, tj), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        extra += (ck,)
+    if use_skip:
+        extra_specs.append(_min_d2_spec(n // ti, m // tj))
+        extra += (min_d2,)
     mom_spec = pl.BlockSpec((tj, MOM_WIDTH), lambda j, i: (j, 0),
                             memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((8, 128), lambda j, i: (0, 0),
                             memory_space=pltpu.VMEM)
 
     mom, acc = pl.pallas_call(
-        _make_moments_kernel(use_ck, ti, linear, fast_exp),
+        _make_moments_kernel(use_ck, ti, linear, fast_exp, use_skip),
         grid=grid,
-        in_specs=[smem] + xspec + yspec + [phi_spec] + ck_spec,
+        in_specs=[smem] + xspec + yspec + [phi_spec] + extra_specs,
         out_specs=[mom_spec, acc_spec],
         out_shape=[
             jax.ShapeDtypeStruct((m, MOM_WIDTH), jnp.float32),
@@ -168,25 +212,38 @@ def fused_moments(xp, xf, xm, yp, yf, ym, phi, ell, ck=None, *, p,
 
 
 def _make_wsq_kernel(use_ck, linear=False, symmetric=False,
-                     fast_exp=False):
+                     fast_exp=False, use_skip=False):
     def kernel(s_ref, *refs):
-        return _wsq_body(s_ref, refs, use_ck, linear, symmetric, fast_exp)
+        return _wsq_body(s_ref, refs, use_ck, linear, symmetric, fast_exp,
+                         use_skip)
 
     return kernel
 
 
 def _wsq_body(s_ref, refs, use_ck, linear=False, symmetric=False,
-              fast_exp=False):
+              fast_exp=False, use_skip=False):
     """Accumulator row 0: 0 sum A*d2, 1 nnz.
 
     `symmetric` (the Axx/Ayy self-sweeps): A is exactly symmetric —
     the tile at (j, i) is the transpose of (i, j) bit-for-bit (same
     planes both sides, same ck cache) — so only upper-triangle tiles
     are evaluated, off-diagonal ones weighted 2x.  Halves the VPU work
-    of each adaptive self-kernel sweep."""
+    of each adaptive self-kernel sweep.
+
+    `use_skip`: AABB tile pruning as in _moments_body (self-kernel
+    distances are rigid-invariant, so the caller computes the bound
+    matrix ONCE per align from the untransformed cloud)."""
     xrefs, yrefs = refs[:9], refs[9:18]
-    ck_ref = refs[18] if use_ck else None
-    acc_ref = refs[19] if use_ck else refs[18]
+    idx = 18
+    ck_ref = None
+    md_ref = None
+    if use_ck:
+        ck_ref = refs[idx]
+        idx += 1
+    if use_skip:
+        md_ref = refs[idx]
+        idx += 1
+    acc_ref = refs[idx]
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -194,28 +251,39 @@ def _wsq_body(s_ref, refs, use_ck, linear=False, symmetric=False,
     def _():
         acc_ref[:, :] = jnp.zeros_like(acc_ref)
 
+    scal = _unpack_scal(s_ref)
+
     def tile_update(weight):
-        scal = _unpack_scal(s_ref)
         A, d2 = _pair_tile(xrefs, yrefs, scal, ck_ref, linear, fast_exp)
         wsq = jnp.sum(A * d2)
         nnz = jnp.sum((A > 0).astype(jnp.float32))
         acc_ref[:, :] += _acc_update([weight * wsq, weight * nnz])
 
+    def guarded(weight):
+        if use_skip:
+            @pl.when(md_ref[i, j] <= scal[5] + SKIP_MARGIN)
+            def _():
+                tile_update(weight)
+        else:
+            tile_update(weight)
+
     if symmetric:
         @pl.when(j >= i)
         def _():
-            tile_update(jnp.where(j > i, 2.0, 1.0))
+            guarded(jnp.where(j > i, 2.0, 1.0))
     else:
-        tile_update(1.0)
+        guarded(1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("p", "interpret", "symmetric"))
-def fused_wsq(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, symmetric=False,
-              interpret=None):
+def fused_wsq(xp, xf, xm, yp, yf, ym, ell, ck=None, min_d2=None, *, p,
+              symmetric=False, interpret=None):
     """Lean self-kernel sweep: returns (sum A*d2, nnz) — the only
     quantities the adaptive dl reduction needs from Axx/Ayy
     (adaptive_cvo.cpp:222-271).  Pass symmetric=True when x and y ARE
-    the same cloud (upper-triangle evaluation, exact)."""
+    the same cloud (upper-triangle evaluation, exact).  `min_d2`
+    [nbi, nbj] enables exact AABB tile pruning (rigid-invariant for
+    self-pairs: compute once per align from the untransformed cloud)."""
     interpret = _auto_interpret(interpret)
     linear = p.color_mode == "linear"
     fast_exp = getattr(p, "exp_mode", "precise") == "fast"
@@ -235,16 +303,24 @@ def fused_wsq(xp, xf, xm, yp, yf, ym, ell, ck=None, *, p, symmetric=False,
         pl.BlockSpec((1, tj), lambda i, j: (0, j), memory_space=pltpu.VMEM)
     ] * NPLANES
     use_ck = ck is not None
-    ck_spec = [
-        pl.BlockSpec((ti, tj), lambda i, j: (i, j), memory_space=pltpu.VMEM)
-    ] if use_ck else []
-    extra = (ck,) if use_ck else ()
+    use_skip = min_d2 is not None
+    extra_specs = []
+    extra = ()
+    if use_ck:
+        extra_specs.append(
+            pl.BlockSpec((ti, tj), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        extra += (ck,)
+    if use_skip:
+        extra_specs.append(_min_d2_spec(n // ti, m // tj))
+        extra += (min_d2,)
     out = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
                        memory_space=pltpu.VMEM)
     acc = pl.pallas_call(
-        _make_wsq_kernel(use_ck, linear, symmetric, fast_exp),
+        _make_wsq_kernel(use_ck, linear, symmetric, fast_exp, use_skip),
         grid=grid,
-        in_specs=[smem] + xspec + yspec + ck_spec,
+        in_specs=[smem] + xspec + yspec + extra_specs,
         out_specs=out,
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         interpret=interpret,

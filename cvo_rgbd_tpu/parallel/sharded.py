@@ -13,11 +13,18 @@ all-reduces (SURVEY.md section 2.6): omega/v (cvo.cpp:201-204), B..E
 - `align_ring` — point-cloud "sequence parallelism" (the ring-attention
   analog, SURVEY.md section 5): both clouds shard; cloud blocks rotate
   around the ring via `ppermute` so no device ever holds the whole
-  moving cloud.  Two sweeps per iteration (flow needs omega before the
-  line-search sweep); adaptive params add a third sweep for the
-  Axx/Ayy self-kernel partials of dl.
+  moving cloud.  XLA path: two sweeps per iteration (flow needs omega
+  before the line-search sweep), plus a third for the adaptive Axx/Ayy
+  partials.  Pallas path: ONE sweep — the visiting block carries its
+  moment matrix around the ring and both reductions become epilogues.
 - `align_batched` — batch DP: vmap the single-pair align over a batch
   of frame pairs, sharded over axis `dp` (multi-sequence odometry).
+
+Local per-device compute in the sharded/ring paths runs the same
+single-pass Pallas moment kernel as the single-chip product when
+`p.backend` selects it (VERDICT r4 item 1); the XLA dense-block path
+remains the default-params fallback and the only yy_quirk/adaptive-
+linear implementation.
 """
 
 from __future__ import annotations
@@ -139,11 +146,67 @@ def _integrate(p, state, omega, v, step, adaptive, dl):
 # Row-sharded align (Gram tensor parallelism)
 # ---------------------------------------------------------------------------
 
-def _make_sharded_inner(p, axis, adaptive):
+def _sharded_pallas_eligible(p, adaptive, n_local, m):
+    """The Pallas moment path engages when the params ask for it and the
+    per-device row block is tileable.  Exclusions mirror
+    core.registration.align's fused->pallas->xla fallback chain:
+    yy_quirk emulation and adaptive linear mode are XLA-only, and the
+    kernels tile in 128-lane blocks."""
+    if getattr(p, "backend", "xla") not in ("pallas", "fused"):
+        return False
+    if adaptive and (p.yy_quirk or p.color_mode == "linear"):
+        return False
+    return not (n_local % 128 or m % 128)
+
+
+def _maybe_kd_sort(p, adaptive, fixed, moving, nsp, both=False):
+    """Globally kd-sort the clouds before shard_map when the Pallas
+    moment path will engage: sharded row blocks become contiguous kd
+    cells, so the per-device AABB tile pruning actually prunes (see
+    core/cloud.kd_sort).  Unconditional on tile_skip — the single-chip
+    pallas align sorts unconditionally too, keeping the paths on the
+    same point order.  `both=True` (the ring) requires the moving
+    capacity to shard too."""
+    n_local = fixed.capacity // nsp
+    m_for_check = moving.capacity // nsp if both else moving.capacity
+    if not _sharded_pallas_eligible(p, adaptive, n_local, m_for_check):
+        return fixed, moving
+    from cvo_rgbd_tpu.core.cloud import kd_sort
+
+    return kd_sort(fixed), kd_sort(moving)
+
+
+def _make_sharded_inner(p, axis, adaptive, nsp):
     """Per-shard align body: x arrays are row-shards, y replicated
-    within `axis` groups.  Used by align_sharded and train_step_2d."""
+    within `axis` groups.  Used by align_sharded and train_step_2d.
+
+    With `p.backend` in ("pallas", "fused") each device runs the SAME
+    single-pass moment kernel as the single-chip product
+    (ops/pallas_moments.py) on its local [N/sp, M] row block: one tile
+    sweep accumulates the local moment matrix Mom_l = A_l^T Phi(x'_l),
+    the flow/step reductions are O(M) epilogues on Mom_l
+    (core/moments.py — they are LINEAR in Mom, so per-shard epilogues
+    psum exactly like the reference's mutex-guarded partials,
+    cvo.cpp:201-204), and the iteration keeps the two packed psums of
+    the XLA path.  Per-device per-iteration cost therefore matches the
+    single-chip Pallas floor instead of the ~3x dense-XLA block path
+    (VERDICT r4 item 1)."""
+
+    use_pallas_cfg = _sharded_pallas_eligible(p, adaptive, 128, 128)
+    if use_pallas_cfg:
+        from cvo_rgbd_tpu.core.moments import (
+            flow_from_moments,
+            monomial_features_padded,
+            step_from_moments,
+        )
+        from cvo_rgbd_tpu.ops import color_gram, fused_moments, fused_wsq
 
     def inner(xp, xf, xm, yp0, yf, ym):
+        n_local, m = xp.shape[0], yp0.shape[0]
+        use_pallas = use_pallas_cfg and _sharded_pallas_eligible(
+            p, adaptive, n_local, m
+        )
+        linear = p.color_mode == "linear"
         # x_full needed only for the adaptive Axx columns; the fixed
         # cloud never moves, so gather once outside the loop.
         if adaptive:
@@ -151,6 +214,103 @@ def _make_sharded_inner(p, axis, adaptive):
             xf_full = jax.lax.all_gather(xf, axis, tiled=True)
             xm_full = jax.lax.all_gather(xm, axis, tiled=True)
             num_fixed = jnp.sum(xm_full)
+
+        if use_pallas:
+            # Loop-invariant per-align precomputation (the sharded
+            # analog of registration.build_moments_pre /
+            # build_ck_caches).  c0 is the GLOBAL masked centroid of
+            # the fixed cloud — every shard centers identically, so
+            # the psum'd moments match the single-chip ones.
+            w = xm.astype(jnp.float32)
+            s_g, n_g = jax.lax.psum(
+                (jnp.sum(xp * w[:, None], axis=0), jnp.sum(w)), axis
+            )
+            c0 = s_g / jnp.maximum(n_g, 1.0)
+            x_c = xp - c0
+            phi = monomial_features_padded(x_c)
+            use_skip = getattr(p, "tile_skip", True)
+            md_xx = md_yy = None
+            if use_skip:
+                # AABB tile pruning (ops/pallas_gram): the caller
+                # kd-sorted the clouds globally, so local row blocks
+                # are compact kd cells.  x bounds + the self-pair
+                # prune matrices are loop-invariant.
+                from cvo_rgbd_tpu.ops.pallas_gram import (
+                    _tile, aabb_min_d2, block_bounds,
+                )
+
+                lo_xl, hi_xl = block_bounds(xp, xm, _tile(n_local))
+                if adaptive:
+                    lo_xf, hi_xf = block_bounds(
+                        xp_full, xm_full, _tile(xp_full.shape[0])
+                    )
+                    md_xx = aabb_min_d2(lo_xl, hi_xl, lo_xf, hi_xf)
+                    lo_y0, hi_y0 = block_bounds(yp0, ym, _tile(m))
+                    md_yy = aabb_min_d2(lo_y0, hi_y0, lo_y0, hi_y0)
+            ck_xy = ck_xx = ck_yy = None
+            if linear:
+                # the pre-masked CI tile IS the cache (see
+                # registration.prepare_ci): local x rows vs full y
+                ci = gram_mod.linear_color_gram(xf, yf, p.color_scale)
+                ck_xy = jnp.where(
+                    (xm[:, None] > 0) & (ym[None, :] > 0), ci, 0.0
+                )
+            elif getattr(p, "ck_cache", True):
+                ck_xy = color_gram(xp, xf, xm, yp0, yf, ym, p=p)
+                if adaptive:
+                    ck_xx = color_gram(
+                        xp, xf, xm, xp_full, xf_full, xm_full, p=p
+                    )
+                    ck_yy = color_gram(yp0, yf, ym, yp0, yf, ym, p=p)
+
+        def pallas_body(state):
+            tf_R, tf_T = se3.se3_inv(state.R, state.T)
+            tf = se3.make_se3(tf_R, tf_T)
+            yp = transform_cloud(tf_R, tf_T, yp0)
+
+            md_xy = None
+            if use_skip:
+                lo_y, hi_y = block_bounds(yp, ym, _tile(m))
+                md_xy = aabb_min_d2(lo_xl, hi_xl, lo_y, hi_y)
+            Mom_l, nnz_l = fused_moments(
+                x_c, xf, xm, yp - c0, yf, ym, phi, state.ell, ck_xy,
+                md_xy, p=p,
+            )
+            om_l, v_l, wsq_l, _ = flow_from_moments(
+                Mom_l, yp, c0, c=p.c, d=p.d
+            )
+            if adaptive:
+                # self-kernels only feed dl (lean sweeps).  Axx spans
+                # local rows x the full fixed cloud — symmetric
+                # upper-triangle evaluation only applies at sp=1 where
+                # the block IS the full self-pair.  Ayy is replicated
+                # (full y x y), exactly like the XLA path's s_yy.
+                wsq_xx_l, nnz_xx_l = fused_wsq(
+                    xp, xf, xm, xp_full, xf_full, xm_full,
+                    state.ell, ck_xx, md_xx, p=p, symmetric=(nsp == 1),
+                )
+                wsq_yy, nnz_yy = fused_wsq(
+                    yp, yf, ym, yp, yf, ym, state.ell, ck_yy, md_yy,
+                    p=p, symmetric=True,
+                )
+                omega, v, s_xy, s_xx, nnz_xx, nnz_xy = jax.lax.psum(
+                    (om_l, v_l, wsq_l, wsq_xx_l, nnz_xx_l, nnz_l), axis
+                )
+                numer = (wsq_yy - 2.0 * s_xy + s_xx) / state.ell ** 3
+                denom = nnz_xx + nnz_yy - 2.0 * nnz_xy
+                dl = numer / jnp.where(denom == 0, 1.0, denom)
+            else:
+                omega, v = jax.lax.psum((om_l, v_l), axis)
+                dl = jnp.zeros((), jnp.float32)
+
+            Bl, Cl, Dl, El = step_from_moments(
+                Mom_l, yp, c0, omega, v, state.ell
+            )
+            B, C, D, E = jax.lax.psum((Bl, Cl, Dl, El), axis)
+            step = _step_from_coeffs(p, B, C, D, E)
+
+            new = _integrate(p, state, omega, v, step, adaptive, dl)
+            return new._replace(tf=tf)
 
         def body(state):
             tf_R, tf_T = se3.se3_inv(state.R, state.T)
@@ -209,7 +369,8 @@ def _make_sharded_inner(p, axis, adaptive):
             return new._replace(tf=tf)
 
         final = jax.lax.while_loop(
-            lambda s: (s.k < p.max_iter) & ~s.converged, body,
+            lambda s: (s.k < p.max_iter) & ~s.converged,
+            pallas_body if use_pallas else body,
             _init_state(p, adaptive),
         )
         return _finish(final)
@@ -231,7 +392,8 @@ def align_sharded(p, mesh, fixed: PointCloud, moving: PointCloud,
         raise ValueError(
             f"fixed capacity {fixed.capacity} not divisible by {axis}={nsp}"
         )
-    inner = _make_sharded_inner(p, axis, adaptive)
+    fixed, moving = _maybe_kd_sort(p, adaptive, fixed, moving, nsp)
+    inner = _make_sharded_inner(p, axis, adaptive, nsp)
     spec_x = (P(axis, None), P(axis, None), P(axis))
     spec_y = (P(None, None), P(None, None), P(None))
     out = jax.tree_util.tree_map(lambda _: P(), _finish(_init_state(p, adaptive)))
@@ -263,7 +425,14 @@ def train_step_2d(p, mesh, fixed_b: PointCloud, moving_b: PointCloud,
             f"batch {B} must divide {dp}={ndp}; capacity "
             f"{fixed_b.capacity} must divide {sp}={nsp}"
         )
-    inner = _make_sharded_inner(p, sp, adaptive)
+    if _sharded_pallas_eligible(
+        p, adaptive, fixed_b.capacity // nsp, moving_b.capacity
+    ) and getattr(p, "tile_skip", True):
+        from cvo_rgbd_tpu.core.cloud import kd_sort
+
+        fixed_b = jax.vmap(kd_sort)(fixed_b)
+        moving_b = jax.vmap(kd_sort)(moving_b)
+    inner = _make_sharded_inner(p, sp, adaptive, nsp)
 
     def batched_inner(xp, xf, xm, yp, yf, ym):
         # local shapes: [B/ndp, N/nsp, ...] for x, [B/ndp, M, ...] for y
@@ -295,22 +464,51 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                axis: str = "sp") -> AlignResult:
     """Both clouds sharded over `axis`; cloud blocks ride the ring.
 
-    Per iteration: sweep 1 rotates moving blocks to accumulate the flow
-    partials (plus, for adaptive params, the Axy weighted-distance/nnz
-    partials); for adaptive params sweep 1b rotates fixed *and* moving
-    blocks together against the resident row-shards for the Axx/Ayy
-    self-kernel partials of dl (adaptive_cvo.cpp:222-271); sweep 2
-    (after omega/v are known) rotates moving blocks again for the
-    line-search coefficients.  Peak per-device Gram block is
-    [N/sp, M/sp] — no device ever holds a whole cloud or a whole Gram
-    matrix.
+    Per iteration (XLA block path): sweep 1 rotates moving blocks to
+    accumulate the flow partials (plus, for adaptive params, the Axy
+    weighted-distance/nnz partials); for adaptive params sweep 1b
+    rotates fixed *and* moving blocks together against the resident
+    row-shards for the Axx/Ayy self-kernel partials of dl
+    (adaptive_cvo.cpp:222-271); sweep 2 (after omega/v are known)
+    rotates moving blocks again for the line-search coefficients.
+    Peak per-device Gram block is [N/sp, M/sp] — no device ever holds
+    a whole cloud or a whole Gram matrix.
+
+    With `p.backend` in ("pallas", "fused") and 128-divisible blocks,
+    the iteration collapses to ONE sweep: the visiting y block carries
+    its moment block Mom_b = A[:, b]^T Phi(x') around the ring — each
+    device adds its resident rows' contribution (ops/pallas_moments.py
+    fused_moments) and, for adaptive params, the Axx/Ayy wsq partials
+    (fused_wsq) in the same hop.  After a full cycle every block is
+    home with its complete moments, and flow AND line-search
+    coefficients are O(M/sp) epilogues (core/moments.py) + two packed
+    psums — the omega-dependent second Gram sweep disappears
+    entirely (the reference's second nnz(A) traversal,
+    cvo.cpp:213-308).  Color kernels are recomputed in-kernel
+    (no [N/sp, M] cache: ring mode exists for clouds where that
+    allocation is the problem).
     """
     adaptive = isinstance(p, AcvoParams)
     nsp = mesh.shape[axis]
     if fixed.capacity % nsp or moving.capacity % nsp:
         raise ValueError("cloud capacities must divide the ring size")
 
+    fixed, moving = _maybe_kd_sort(p, adaptive, fixed, moving, nsp,
+                                   both=True)
+    use_pallas_cfg = _sharded_pallas_eligible(
+        p, adaptive, fixed.capacity // nsp, moving.capacity // nsp
+    )
+    if use_pallas_cfg:
+        from cvo_rgbd_tpu.core.moments import (
+            flow_from_moments,
+            monomial_features_padded,
+            step_from_moments,
+        )
+        from cvo_rgbd_tpu.ops import fused_moments, fused_wsq
+
     def inner(xp, xf, xm, yp0_blk, yf_blk, ym_blk):
+        linear = p.color_mode == "linear"
+        m_local = yp0_blk.shape[0]
         if adaptive:
             # total valid fixed points + this shard's global row base in
             # the moving cloud (P(axis) shards are contiguous), for the
@@ -336,6 +534,138 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
             )[0]
 
         y_payload = (yp0_blk, yf_blk, ym_blk)
+
+        if use_pallas_cfg:
+            # loop-invariant precomputation (see _make_sharded_inner):
+            # global fixed-cloud centroid + centered monomial features
+            # of the resident rows
+            w = xm.astype(jnp.float32)
+            s_g, n_g = jax.lax.psum(
+                (jnp.sum(xp * w[:, None], axis=0), jnp.sum(w)), axis
+            )
+            c0 = s_g / jnp.maximum(n_g, 1.0)
+            x_c = xp - c0
+            phi = monomial_features_padded(x_c)
+            use_skip = getattr(p, "tile_skip", True)
+            if use_skip:
+                from cvo_rgbd_tpu.ops.pallas_gram import (
+                    _tile, aabb_min_d2, block_bounds,
+                )
+
+                t_loc = _tile(xp.shape[0])
+                t_blk = _tile(m_local)
+                lo_xl, hi_xl = block_bounds(xp, xm, t_loc)
+                if adaptive:
+                    # yy prune is rigid-invariant: resident home-block
+                    # bounds from the untransformed y block
+                    lo_yh, hi_yh = block_bounds(yp0_blk, ym_blk, t_blk)
+
+        def ring_sweep_carrying(carry_init, payload, blk_fn):
+            """Like ring_sweep, but blk_fn also UPDATES the payload —
+            after the full cycle each device's payload is its home
+            block again, with whatever blk_fn accumulated riding it."""
+            perm = [(i, (i + 1) % nsp) for i in range(nsp)]
+
+            def step_fn(i, val):
+                carry, blk = val
+                carry, blk = blk_fn(carry, blk)
+                blk = jax.tree_util.tree_map(
+                    lambda a: jax.lax.ppermute(a, axis, perm), blk
+                )
+                return carry, blk
+
+            return jax.lax.fori_loop(
+                0, nsp, step_fn, (carry_init, payload)
+            )
+
+        def pallas_body(state):
+            tf_R, tf_T = se3.se3_inv(state.R, state.T)
+            tf = se3.make_se3(tf_R, tf_T)
+            yp_home = transform_cloud(tf_R, tf_T, yp0_blk)
+
+            mom0 = jnp.zeros((m_local, 35), jnp.float32)
+
+            def blk_fn(carry, blk):
+                if adaptive:
+                    xpb, xfb, xmb, ypb0, yfb, ymb, mom = blk
+                else:
+                    ypb0, yfb, ymb, mom = blk
+                ypb = transform_cloud(tf_R, tf_T, ypb0)
+                ck = None
+                if linear:
+                    # per-hop CI tile: resident x rows vs visiting
+                    # block (rkhs_se3_registration.m:108) — one small
+                    # matmul, no [N/sp, M] cache
+                    ci = gram_mod.linear_color_gram(
+                        xf, yfb, p.color_scale
+                    )
+                    ck = jnp.where(
+                        (xm[:, None] > 0) & (ymb[None, :] > 0), ci, 0.0
+                    )
+                md = md_xx_b = md_yy_b = None
+                if use_skip:
+                    # visiting-block tile bounds: O(blk) reduce per hop
+                    lo_yb, hi_yb = block_bounds(ypb, ymb, t_blk)
+                    md = aabb_min_d2(lo_xl, hi_xl, lo_yb, hi_yb)
+                    if adaptive:
+                        lo_xb, hi_xb = block_bounds(xpb, xmb, t_loc)
+                        md_xx_b = aabb_min_d2(lo_xl, hi_xl, lo_xb, hi_xb)
+                        lo_y0b, hi_y0b = block_bounds(ypb0, ymb, t_blk)
+                        md_yy_b = aabb_min_d2(lo_yh, hi_yh, lo_y0b,
+                                              hi_y0b)
+                contrib, nnz = fused_moments(
+                    x_c, xf, xm, ypb - c0, yfb, ymb, phi, state.ell,
+                    ck, md, p=p,
+                )
+                mom = mom + contrib[:, :35]
+                if adaptive:
+                    sxx_c, nxx_c = fused_wsq(
+                        xp, xf, xm, xpb, xfb, xmb, state.ell, None,
+                        md_xx_b, p=p,
+                    )
+                    syy_c, nyy_c = fused_wsq(
+                        yp_home, yf_blk, ym_blk, ypb, yfb, ymb,
+                        state.ell, None, md_yy_b, p=p,
+                    )
+                    carry = (
+                        carry[0] + sxx_c, carry[1] + nxx_c,
+                        carry[2] + syy_c, carry[3] + nyy_c,
+                        carry[4] + nnz,
+                    )
+                    return carry, (xpb, xfb, xmb, ypb0, yfb, ymb, mom)
+                return carry, (ypb0, yfb, ymb, mom)
+
+            if adaptive:
+                carry0 = tuple(jnp.zeros((), jnp.float32) for _ in range(5))
+                payload0 = (xp, xf, xm) + y_payload + (mom0,)
+            else:
+                carry0 = ()
+                payload0 = y_payload + (mom0,)
+            carry, payload = ring_sweep_carrying(carry0, payload0, blk_fn)
+            mom_home = payload[-1]
+
+            om_l, v_l, wsq_l, _ = flow_from_moments(
+                mom_home, yp_home, c0, c=p.c, d=p.d
+            )
+            if adaptive:
+                omega, v, sxy_g, sxx_g, syy_g, nxx_g, nyy_g, nxy_g = (
+                    jax.lax.psum((om_l, v_l, wsq_l) + carry, axis)
+                )
+                numer = (syy_g - 2.0 * sxy_g + sxx_g) / state.ell ** 3
+                denom = nxx_g + nyy_g - 2.0 * nxy_g
+                dl = numer / jnp.where(denom == 0, 1.0, denom)
+            else:
+                omega, v = jax.lax.psum((om_l, v_l), axis)
+                dl = jnp.zeros((), jnp.float32)
+
+            Bl, Cl, Dl, El = step_from_moments(
+                mom_home, yp_home, c0, omega, v, state.ell
+            )
+            B, C, D, E = jax.lax.psum((Bl, Cl, Dl, El), axis)
+            step = _step_from_coeffs(p, B, C, D, E)
+
+            new = _integrate(p, state, omega, v, step, adaptive, dl)
+            return new._replace(tf=tf)
 
         def body(state):
             tf_R, tf_T = se3.se3_inv(state.R, state.T)
@@ -428,7 +758,8 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
             return new._replace(tf=tf)
 
         final = jax.lax.while_loop(
-            lambda s: (s.k < p.max_iter) & ~s.converged, body,
+            lambda s: (s.k < p.max_iter) & ~s.converged,
+            pallas_body if use_pallas_cfg else body,
             _init_state(p, adaptive),
         )
         return _finish(final)

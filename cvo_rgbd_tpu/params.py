@@ -65,6 +65,12 @@ class CvoParams:
     # hardware exp (~30% cheaper iterations, converges fine at the
     # MATLAB stops 5e-4/1e-4 — exactly the round-3 configuration).
     exp_mode: str = "precise"
+    # pallas backend only: EXACT tile-level sparsity skipping — per-tile
+    # AABB lower bounds prune tile pairs wholly outside the position
+    # gate radius (the kd-tree radius pruning of cvo.cpp:119-125 at MXU
+    # granularity; skipped tiles contribute exactly 0).  At converged
+    # length-scales most tiles of a room-scale cloud skip.
+    tile_skip: bool = True
 
     @property
     def c_sp_thres(self) -> float:
@@ -111,6 +117,7 @@ class AcvoParams:
     ck_cache: bool = True  # see CvoParams.ck_cache (x3 caches for acvo)
     step_mode: str = "factored"  # see CvoParams.step_mode
     exp_mode: str = "precise"  # see CvoParams.exp_mode
+    tile_skip: bool = True  # see CvoParams.tile_skip
 
 
 # MATLAB prototype parameter set (rkhs_se3_registration.m:7-36): linear

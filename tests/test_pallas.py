@@ -265,3 +265,66 @@ def test_fused_wsq_symmetric_matches_full(rng):
     )
     np.testing.assert_allclose(float(sym[0]), float(full[0]), rtol=1e-5)
     assert int(sym[1]) == int(full[1])
+
+
+# ---------------------------------------------------------------------------
+# Exact AABB tile skipping (VERDICT r4 item 5 generalization): pruned
+# tile pairs would contribute exactly zero, so the skip changes no
+# computed bit — tile_skip=True must be BITWISE equal to False.
+# ---------------------------------------------------------------------------
+
+def _scattered_pair(rng, n=700, cap=1024):
+    """Clusters far apart relative to the gate radius, so the AABB
+    prune has real work to do at small ell."""
+    centers = rng.uniform(-1.5, 1.5, (8, 3)).astype(np.float32)
+    pts = np.concatenate([
+        c + 0.08 * rng.standard_normal((n // 8, 3)).astype(np.float32)
+        for c in centers
+    ])
+    feat = (rng.random((pts.shape[0], 5)) *
+            np.array([255, 255, 255, 60, 60])).astype(np.float32)
+    x = pad_cloud(pts, feat, capacity=cap)
+    d = 0.01 * rng.standard_normal(pts.shape).astype(np.float32)
+    y = pad_cloud(pts + d, feat, capacity=cap)
+    return x, y
+
+
+def test_tile_skip_bounds_are_conservative(rng):
+    """Every gated-in pair lies in a tile the prune keeps."""
+    from cvo_rgbd_tpu.ops.pallas_gram import aabb_min_d2, block_bounds
+
+    x, y = _scattered_pair(rng)
+    tile = 256
+    lo_x, hi_x = block_bounds(x.positions, x.mask, tile)
+    lo_y, hi_y = block_bounds(y.positions, y.mask, tile)
+    md = np.asarray(aabb_min_d2(lo_x, hi_x, lo_y, hi_y))
+    d2 = np.sum(
+        (np.asarray(x.positions)[:, None, :]
+         - np.asarray(y.positions)[None, :, :]) ** 2, axis=-1,
+    )
+    valid = (np.asarray(x.mask)[:, None] > 0) & (np.asarray(y.mask)[None] > 0)
+    d2 = np.where(valid, d2, np.inf)
+    blk = d2.reshape(d2.shape[0] // tile, tile,
+                     d2.shape[1] // tile, tile).min(axis=(1, 3))
+    assert (md <= blk + 1e-6).all()
+    # and the prune is non-trivial on this geometry at ell=0.05
+    thres = -2 * 0.05 ** 2 * np.log(P.sp_thres / P.sigma ** 2)
+    assert (md > thres).mean() > 0.3, (md > thres).mean()
+
+
+@pytest.mark.parametrize(
+    "base", [CvoParams(max_iter=60), AcvoParams(max_iter=60)]
+)
+def test_align_tile_skip_bitwise_equal(rng, base):
+    import dataclasses
+
+    from cvo_rgbd_tpu import align_jit
+
+    x, y = _scattered_pair(rng)
+    p_on = dataclasses.replace(base, backend="pallas", tile_skip=True)
+    p_off = dataclasses.replace(base, backend="pallas", tile_skip=False)
+    a = align_jit(p_on, x, y)
+    b = align_jit(p_off, x, y)
+    assert np.array_equal(np.asarray(a.tf), np.asarray(b.tf))
+    assert int(a.iterations) == int(b.iterations)
+    assert np.array_equal(np.asarray(a.ell), np.asarray(b.ell))

@@ -100,8 +100,9 @@ def test_fused_rejects_quirk_and_oversize(rng):
     x, y = _pair(rng, 5)
     with pytest.raises((ValueError, TypeError)):
         align_fused(AcvoParams(yy_quirk=True), x, y, interpret=True)
+    # capacities beyond the tiled kernel's resident budget still raise
     big = pad_cloud(np.zeros((0, 3), np.float32),
-                    np.zeros((0, 5), np.float32), capacity=2048)
+                    np.zeros((0, 5), np.float32), capacity=32768)
     with pytest.raises(ValueError):
         align_fused(CvoParams(), big, big, interpret=True)
 
@@ -193,3 +194,60 @@ def test_fused_fallback_unaligned_capacity_routes_to_xla(rng):
     got = align_jit(p, x, y)
     np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Reference-scale TILED mega-kernel (VERDICT r4 item 4): clouds beyond
+# the resident VMEM budget run a per-iteration tile sweep with momT
+# scratch accumulation + AABB tile pruning, inside the same
+# while-loop-on-scalar-carries kernel.
+# ---------------------------------------------------------------------------
+
+def _mid_pair(rng, nfeat=5, n=1300, cap=1536):
+    return _pair(rng, nfeat, n=n, cap=cap)
+
+
+@pytest.mark.parametrize("base,nfeat", [
+    (CvoParams(max_iter=40, eps=5e-4, eps_2=1e-4), 5),
+    (MATLAB_PARAMS, 3),
+    (AcvoParams(max_iter=40, eps=5e-4, eps_2=1e-4), 5),
+])
+def test_tiled_fused_matches_pallas_backend(rng, base, nfeat):
+    import dataclasses
+
+    from cvo_rgbd_tpu.ops.pallas_align import _fused_mode
+
+    x, y = _mid_pair(rng, nfeat)
+    p_f = dataclasses.replace(base, backend="fused")
+    p_p = dataclasses.replace(base, backend="pallas")
+    assert _fused_mode(p_f, x, y) == "tiled"
+    a = align_jit(p_f, x, y)
+    b = align_jit(p_p, x, y)
+    # coarse-stop skew class (docs/PARITY.md section 1): both converge,
+    # poses agree at the sub-mm scale
+    np.testing.assert_allclose(np.asarray(a.tf), np.asarray(b.tf),
+                               atol=1e-3)
+    assert bool(a.converged) and bool(b.converged)
+
+
+def test_tiled_fused_skip_off_matches_on(rng):
+    """AABB tile pruning in the tiled kernel is exact: identical
+    results with the prune disabled."""
+    import dataclasses
+
+    x, y = _mid_pair(rng)
+    p_on = CvoParams(max_iter=30, backend="fused", tile_skip=True)
+    p_off = dataclasses.replace(p_on, tile_skip=False)
+    a = align_jit(p_on, x, y)
+    b = align_jit(p_off, x, y)
+    np.testing.assert_array_equal(np.asarray(a.tf), np.asarray(b.tf))
+    assert int(a.iterations) == int(b.iterations)
+
+
+def test_tiled_fused_self_registration(rng):
+    x, _ = _mid_pair(rng)
+    p = CvoParams(backend="fused")
+    res = align_jit(p, x, x)
+    assert int(res.iterations) == 0
+    np.testing.assert_array_equal(np.asarray(res.tf),
+                                  np.eye(4, dtype=np.float32))

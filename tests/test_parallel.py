@@ -109,3 +109,139 @@ def test_mesh_helper():
     assert m.shape == {"dp": 2, "sp": 4}
     with pytest.raises(ValueError):
         make_mesh({"sp": 16})
+
+
+# ---------------------------------------------------------------------------
+# Pallas moment kernel inside the sharded paths (VERDICT r4 item 1):
+# the per-device local compute is the SAME single-pass fused_moments
+# sweep as the single-chip product, with psum'd O(M) epilogues.
+# ---------------------------------------------------------------------------
+
+def _big_pair(rng, n=900, cap=1024):
+    """128-divisible per-device row blocks at sp=8 (cap/8 = 128)."""
+    return _pair(rng, n=n, cap=cap)
+
+
+@pytest.mark.parametrize(
+    "base", [CvoParams(max_iter=40), AcvoParams(max_iter=40)]
+)
+def test_align_sharded_pallas_matches_single(rng, base):
+    import dataclasses
+
+    p = dataclasses.replace(base, backend="pallas")
+    x, y = _big_pair(rng)
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(p, x, y)          # single-chip pallas backend
+    got = jax.jit(functools.partial(align_sharded, p, mesh))(x, y)
+    # psum'd epilogues reassociate fp32 sums vs the single-chip sweep;
+    # the C++ eps=5e-5 stop sits near the fp32 flow plateau, so the
+    # stopping iteration skews several steps and the converged poses
+    # differ at the 0.1-0.3mm scale (the documented stop-skew class,
+    # docs/PARITY.md section 1) — assert pose agreement + convergence,
+    # not iteration counts
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=3e-4)
+    assert bool(got.converged) and bool(ref.converged)
+
+
+def test_align_sharded_pallas_linear_mode(rng):
+    """MATLAB-mode linear color kernel through the sharded moment path
+    (the pre-masked CI tile plays the ck-cache role)."""
+    import dataclasses
+
+    from cvo_rgbd_tpu import MATLAB_PARAMS
+
+    # C++ stop set: the coarse MATLAB eps=5e-4 stops iterations apart
+    # under reassociated arithmetic (mm-scale skew, docs/PARITY.md);
+    # the converged optima agree to 3e-4
+    p = dataclasses.replace(MATLAB_PARAMS, backend="pallas",
+                            eps=5e-5, eps_2=1e-5)
+    x, y = _big_pair(rng)
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(p, x, y)
+    got = jax.jit(functools.partial(align_sharded, p, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=3e-4)
+
+
+def test_align_sharded_pallas_fallback_unaligned(rng):
+    """Row blocks that don't tile (cap/sp not 128-divisible) must fall
+    back to the XLA block path, not raise."""
+    import dataclasses
+
+    p = dataclasses.replace(CvoParams(max_iter=40), backend="pallas")
+    x, y = _pair(rng)                 # cap=256 -> 32 rows/device
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(CvoParams(max_iter=40), x, y)
+    got = jax.jit(functools.partial(align_sharded, p, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=2e-5)
+
+
+def test_train_step_2d_pallas(rng):
+    """The full 2-D production step (dp x sp) with the Pallas local
+    kernel matches per-pair single-chip pallas aligns."""
+    import dataclasses
+
+    from cvo_rgbd_tpu.parallel.sharded import train_step_2d
+
+    p = dataclasses.replace(CvoParams(max_iter=30), backend="pallas")
+    pairs = [_big_pair(rng, n=400 + 40 * i, cap=512) for i in range(2)]
+    fb = PointCloud(*(np.stack([np.asarray(getattr(x, f)) for x, _ in pairs])
+                      for f in ("positions", "features", "mask")))
+    mb = PointCloud(*(np.stack([np.asarray(getattr(y, f)) for _, y in pairs])
+                      for f in ("positions", "features", "mask")))
+    mesh = make_mesh({"dp": 2, "sp": 4})   # 512/4 = 128 rows/device
+    got = jax.jit(functools.partial(train_step_2d, p, mesh))(fb, mb)
+    for i, (x, y) in enumerate(pairs):
+        ref = align_jit(p, x, y)
+        np.testing.assert_allclose(np.asarray(got.tf)[i],
+                                   np.asarray(ref.tf), atol=3e-4)
+
+
+@pytest.mark.parametrize(
+    "base",
+    [CvoParams(max_iter=40), AcvoParams(max_iter=40)],
+)
+def test_align_ring_pallas_matches_single(rng, base):
+    """Single-sweep moment-carrying ring (the Mom block rides the
+    ppermute payload; no second Gram sweep) vs single-chip pallas."""
+    import dataclasses
+
+    p = dataclasses.replace(base, backend="pallas")
+    x, y = _big_pair(rng)             # 1024/8 = 128x128 blocks
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(p, x, y)
+    got = jax.jit(functools.partial(align_ring, p, mesh))(x, y)
+    # stop-skew class (see test_align_sharded_pallas_matches_single)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=3e-4)
+    assert bool(got.converged) and bool(ref.converged)
+
+
+def test_align_ring_pallas_linear_mode(rng):
+    import dataclasses
+
+    from cvo_rgbd_tpu import MATLAB_PARAMS
+
+    p = dataclasses.replace(MATLAB_PARAMS, backend="pallas",
+                            eps=5e-5, eps_2=1e-5)  # see the sharded test
+    x, y = _big_pair(rng)
+    mesh = make_mesh({"sp": 8})
+    ref = align_jit(p, x, y)
+    got = jax.jit(functools.partial(align_ring, p, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
+                               atol=3e-4)
+
+
+def test_ring_pallas_agrees_with_sharded_pallas(rng):
+    """The two fast multi-chip paths cross-check each other (the
+    MULTICHIP dryrun invariant, now on the Pallas kernels)."""
+    import dataclasses
+
+    p = dataclasses.replace(CvoParams(max_iter=40), backend="pallas")
+    x, y = _big_pair(rng)
+    mesh = make_mesh({"sp": 8})
+    a = jax.jit(functools.partial(align_sharded, p, mesh))(x, y)
+    b = jax.jit(functools.partial(align_ring, p, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(a.tf), np.asarray(b.tf), atol=3e-4)
