@@ -434,7 +434,7 @@ class KeyframeSlam:
         return out, nodes
 
     def refine_map(self, kf_poses=None, mesh=None, iters=8, grid=0.05,
-                   radius=0.03):
+                   radius=0.03, feature_weight=2.0):
         """Bundle-adjust keyframe poses + a landmark map (parallel.ba).
 
         Starts from `kf_poses` (default: the pose-graph solution from
@@ -448,6 +448,10 @@ class KeyframeSlam:
         association bias shows up directly as pose error (measured:
         radius 0.05 on ~3 cm-spaced clouds inflated keyframe ATE 1.9x,
         radius 0.03 held it while still dropping the BA cost).
+        `feature_weight` additionally pins each correspondence to the
+        same textured spot across views (round 5: the 5-dim features
+        join the NN cost inside the radius — see
+        parallel.ba.ba_from_keyframes).
         """
         from cvo_rgbd_tpu.parallel import ba_from_keyframes, ba_solve
 
@@ -457,7 +461,7 @@ class KeyframeSlam:
             _, kf_poses = self.solve()
         problem = ba_from_keyframes(
             [k.cloud for k in self.keyframes], np.asarray(kf_poses),
-            grid=grid, radius=radius,
+            grid=grid, radius=radius, feature_weight=feature_weight,
         )
         if problem is None:
             return None

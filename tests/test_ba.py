@@ -195,3 +195,53 @@ def test_ba_map_scale_sharded_matches(rng):
                                atol=5e-4)
     np.testing.assert_allclose(np.asarray(l_sh), np.asarray(l_ref),
                                atol=5e-4)
+
+
+def test_feature_weighted_association_pins_texture(rng):
+    """The round-5 association mechanism.  Two views of a dense
+    textured surface, view 1 carrying unmodeled drift: a position-only
+    NN matches both views to the nearest WORLD point (different
+    material points, offset by the drift), while the feature term
+    pulls both views toward the same MATERIAL point.  Metric: for each
+    landmark observed by both views, the material-coordinate gap
+    |(x1_world - drift) - x0_world|; a strong feature weight must
+    shrink it well below the position-only association's.  (The
+    production default 2.0 is calibrated on rendered sequences where
+    it minimizes post-BA keyframe ATE — parallel/ba.py docstring; this
+    test pins the mechanism's direction, not the calibration.)"""
+    from cvo_rgbd_tpu import pad_cloud
+    from cvo_rgbd_tpu.parallel import ba_from_keyframes
+
+    drift = np.array([0.012, 0.0, 0.0], np.float32)
+    n = 240
+    xy = rng.uniform(0, 0.16, (n, 2)).astype(np.float32)
+    pts = np.concatenate([xy, np.full((n, 1), 2.0, np.float32)], 1)
+    feat = np.stack([
+        4000 * pts[:, 0], 4000 * pts[:, 1],
+        2000 * (pts[:, 0] + pts[:, 1]),
+        np.zeros(n, np.float32), np.zeros(n, np.float32),
+    ], 1).astype(np.float32)
+    c0 = pad_cloud(pts, feat, capacity=256)
+    c1 = pad_cloud(pts + drift, feat, capacity=256)
+    T = np.eye(4, dtype=np.float32)
+
+    def material_gap(fw):
+        prob = ba_from_keyframes([c0, c1], np.stack([T, T]), grid=0.015,
+                                 radius=0.02, min_obs=2,
+                                 feature_weight=fw)
+        op = np.asarray(prob.obs_pose)
+        ol = np.asarray(prob.obs_lm)
+        z = np.asarray(prob.obs_z)          # pose = I: z IS world
+        gaps = []
+        for li in np.unique(ol):
+            w0 = z[(ol == li) & (op == 0)]
+            w1 = z[(ol == li) & (op == 1)]
+            if len(w0) and len(w1):
+                gaps.append(np.linalg.norm((w1[0] - drift) - w0[0]))
+        return float(np.mean(gaps)), len(gaps)
+
+    g_pos, n_pos = material_gap(0.0)
+    g_strong, n_strong = material_gap(8.0)
+    assert n_pos > 20 and n_strong > 20
+    assert g_pos > 0.5 * float(np.linalg.norm(drift)), g_pos
+    assert g_strong < 0.6 * g_pos, (g_strong, g_pos)
