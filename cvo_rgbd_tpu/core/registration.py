@@ -110,7 +110,8 @@ def make_align_step(p, adaptive: bool):
     use_skip = use_pallas and getattr(p, "tile_skip", True)
 
     def body(state: AlignState, fixed: PointCloud, moving: PointCloud, ci,
-             ck_caches=None, moments_pre=None, skip_pre=None):
+             ck_caches=None, moments_pre=None, skip_pre=None,
+             cheb_pre=None):
         tf_R, tf_T = se3.se3_inv(state.R, state.T)
         tf = se3.make_se3(tf_R, tf_T)
         y_pos = transform_cloud(tf_R, tf_T, moving.positions)
@@ -156,16 +157,38 @@ def make_align_step(p, adaptive: bool):
                 # (adaptive_cvo.cpp:156-160, 222-271); their distance
                 # tiles are rigid-invariant, so the AABB prune matrices
                 # come fixed from skip_pre (VERDICT r4 item 5)
-                wsq_xx, nnz_xx = fused_wsq(
-                    fixed.positions, fixed.features, fixed.mask,
-                    fixed.positions, fixed.features, fixed.mask,
-                    state.ell, ck_xx, md_xx, p=p, symmetric=True,
-                )
-                wsq_yy, nnz_yy = fused_wsq(
-                    y_pos, moving.features, moving.mask,
-                    y_pos, moving.features, moving.mask, state.ell, ck_yy,
-                    md_yy, p=p, symmetric=True,
-                )
+                if cheb_pre is not None:
+                    # self_mode="cheb": the four reductions are
+                    # functions of ell ALONE — interpolate the per-
+                    # align log-space Chebyshev tables instead of
+                    # sweeping (build_selfsweep_cheb; params.self_mode)
+                    logv, (lo_t, hi_t, xch, wts) = cheb_pre
+                    t = jnp.log(1.0 / (2.0 * state.ell * state.ell))
+                    x = jnp.clip(
+                        (2.0 * t - (lo_t + hi_t)) / (hi_t - lo_t),
+                        -1.0, 1.0,
+                    )
+                    dch = x - xch
+                    hit = jnp.abs(dch) < 1e-10
+                    tt = wts / jnp.where(hit, 1.0, dch)
+                    interp = (jnp.sum(tt[None, :] * logv, axis=1)
+                              / jnp.sum(tt))
+                    exact_row = jnp.sum(
+                        jnp.where(hit[None, :], logv, 0.0), axis=1
+                    )
+                    logvals = jnp.where(jnp.any(hit), exact_row, interp)
+                    wsq_xx, nnz_xx, wsq_yy, nnz_yy = jnp.exp(logvals)
+                else:
+                    wsq_xx, nnz_xx = fused_wsq(
+                        fixed.positions, fixed.features, fixed.mask,
+                        fixed.positions, fixed.features, fixed.mask,
+                        state.ell, ck_xx, md_xx, p=p, symmetric=True,
+                    )
+                    wsq_yy, nnz_yy = fused_wsq(
+                        y_pos, moving.features, moving.mask,
+                        y_pos, moving.features, moving.mask, state.ell,
+                        ck_yy, md_yy, p=p, symmetric=True,
+                    )
                 ell3 = state.ell ** 3
                 numer = (wsq_yy - 2.0 * wsq_xy + wsq_xx) / ell3
                 denom = nnz_xx + nnz_yy - 2.0 * nnz_xy
@@ -376,6 +399,62 @@ def build_skip_pre(p, adaptive, fixed: PointCloud, moving: PointCloud):
     return lo_x, hi_x, md_xx, md_yy
 
 
+def build_selfsweep_cheb(p, adaptive, fixed: PointCloud,
+                         moving: PointCloud, ck_caches, skip_pre):
+    """Per-align Chebyshev tables for the adaptive self-kernel
+    reductions (params.self_mode="cheb"): wsq_xx/nnz_xx/wsq_yy/nnz_yy
+    are functions of ell ALONE (the self distances are rigid-invariant,
+    adaptive_cvo.cpp:156-160's per-iteration recomputation carries no
+    information), so K lean sweeps at log-u Chebyshev nodes replace a
+    sweep pair EVERY iteration.  Measured accuracy: ~0.4% on the
+    values (the a>sp_thres gate kinks bound polynomial convergence),
+    a few percent on dl after its cancelling numerator.  Returns
+    (log_values [4, K], (lo, hi, nodes, weights)) or None."""
+    if (
+        not adaptive
+        or getattr(p, "backend", "xla") != "pallas"
+        or getattr(p, "self_mode", "exact") != "cheb"
+    ):
+        return None
+    import numpy as _np
+
+    from cvo_rgbd_tpu.ops import fused_wsq
+
+    K = int(getattr(p, "self_cheb_k", 12))
+    lo = float(_np.log(1.0 / (2.0 * p.ell_max_init ** 2)))
+    hi = float(_np.log(1.0 / (2.0 * p.ell_min ** 2)))
+    kk = _np.arange(K)
+    xch = _np.cos(_np.pi * (kk + 0.5) / K)
+    t_nodes = 0.5 * (lo + hi) + 0.5 * (hi - lo) * xch
+    ell_nodes = 1.0 / _np.sqrt(2.0 * _np.exp(t_nodes))
+    wts = ((-1.0) ** kk) * _np.sin(_np.pi * (kk + 0.5) / K)
+
+    ck_xy, ck_xx, ck_yy = ck_caches if ck_caches else (None,) * 3
+    md_xx = md_yy = None
+    if skip_pre is not None:
+        _, _, md_xx, md_yy = skip_pre
+    cols = []
+    for e in ell_nodes:
+        ell = jnp.float32(e)
+        wxx, nxx = fused_wsq(
+            fixed.positions, fixed.features, fixed.mask,
+            fixed.positions, fixed.features, fixed.mask,
+            ell, ck_xx, md_xx, p=p, symmetric=True,
+        )
+        wyy, nyy = fused_wsq(
+            moving.positions, moving.features, moving.mask,
+            moving.positions, moving.features, moving.mask,
+            ell, ck_yy, md_yy, p=p, symmetric=True,
+        )
+        cols.append(jnp.stack([wxx, nxx, wyy, nyy]))
+    logv = jnp.log(jnp.maximum(jnp.stack(cols, axis=1), 1e-30))
+    meta = (
+        jnp.float32(lo), jnp.float32(hi),
+        jnp.asarray(xch, jnp.float32), jnp.asarray(wts, jnp.float32),
+    )
+    return logv, meta
+
+
 def align(
     p,
     fixed: PointCloud,
@@ -474,12 +553,15 @@ def align(
     ck_caches = build_ck_caches(p, adaptive, fixed, moving)
     moments_pre = build_moments_pre(p, fixed)
     skip_pre = build_skip_pre(p, adaptive, fixed, moving)
+    cheb_pre = build_selfsweep_cheb(p, adaptive, fixed, moving,
+                                    ck_caches, skip_pre)
 
     def cond_fn(s: AlignState):
         return (s.k < p.max_iter) & ~s.converged
 
     def body_fn(s: AlignState):
-        return body(s, fixed, moving, ci, ck_caches, moments_pre, skip_pre)
+        return body(s, fixed, moving, ci, ck_caches, moments_pre,
+                    skip_pre, cheb_pre)
 
     final = jax.lax.while_loop(cond_fn, body_fn, init)
 

@@ -73,9 +73,14 @@ def align_trace(p, fixed, moving, n_iters: int):
 
     ck_caches = build_ck_caches(p, adaptive, fixed, moving)
     moments_pre = build_moments_pre(p, fixed)
-    from cvo_rgbd_tpu.core.registration import build_skip_pre
+    from cvo_rgbd_tpu.core.registration import (
+        build_selfsweep_cheb,
+        build_skip_pre,
+    )
 
     skip_pre = build_skip_pre(p, adaptive, fixed, moving)
+    cheb_pre = build_selfsweep_cheb(p, adaptive, fixed, moving,
+                                    ck_caches, skip_pre)
 
     def scan_body(state, _):
         prev_R, prev_T = state.R, state.T
@@ -83,7 +88,7 @@ def align_trace(p, fixed, moving, n_iters: int):
             state.converged,
             lambda s: s,
             lambda s: body(s, fixed, moving, ci, ck_caches, moments_pre,
-                           skip_pre),
+                           skip_pre, cheb_pre),
             state,
         )
         dR = jnp.swapaxes(prev_R, -1, -2) @ new.R

@@ -118,6 +118,24 @@ class AcvoParams:
     step_mode: str = "factored"  # see CvoParams.step_mode
     exp_mode: str = "precise"  # see CvoParams.exp_mode
     tile_skip: bool = True  # see CvoParams.tile_skip
+    # pallas backend only: how the Axx/Ayy self-kernel reductions that
+    # feed dl (adaptive_cvo.cpp:222-271) are evaluated per iteration.
+    # "exact" (default) sweeps both self-kernels every iteration.
+    # "cheb": the four reduction values are functions of ell ALONE
+    # (self-distances are rigid-invariant), so they are tabulated ONCE
+    # per align at Chebyshev nodes in log(1/2ell^2) and interpolated
+    # per iteration — removes both per-iteration self sweeps (~the
+    # entire acvo-over-cvo cost: measured 0.393 -> 0.193 ms/iter at
+    # N=3072, within 6% of plain cvo) at a measured ~0.4% value error
+    # that heavy cancellation in dl's numerator amplifies to a few
+    # percent of dl.  The perturbed ell trajectory costs ~15% more
+    # iterations (still ~1.8x faster wall) and shifts the converged
+    # pose at the C++ stops by sub-mm typically, 2.7 mm worst-case
+    # across 8 reference-scale probe pairs.  Keep "exact" (default)
+    # when dl parity or worst-case pose fidelity matters; "cheb" is
+    # the throughput configuration.
+    self_mode: str = "exact"
+    self_cheb_k: int = 12  # Chebyshev node count for self_mode="cheb"
 
 
 # MATLAB prototype parameter set (rkhs_se3_registration.m:7-36): linear

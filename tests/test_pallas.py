@@ -328,3 +328,22 @@ def test_align_tile_skip_bitwise_equal(rng, base):
     assert np.array_equal(np.asarray(a.tf), np.asarray(b.tf))
     assert int(a.iterations) == int(b.iterations)
     assert np.array_equal(np.asarray(a.ell), np.asarray(b.ell))
+
+
+def test_acvo_cheb_self_mode_matches_exact(rng):
+    """self_mode="cheb" (per-align Chebyshev tables replacing the
+    per-iteration self-kernel sweeps — they are functions of ell alone
+    by rigid invariance) converges to the same pose as exact sweeps
+    within the documented drift."""
+    import dataclasses
+
+    from cvo_rgbd_tpu import align_jit
+
+    x, y = _pair(rng, nfeat=5, n=400, cap=512)
+    p_ex = AcvoParams(backend="pallas", max_iter=200)
+    p_ch = dataclasses.replace(p_ex, self_mode="cheb")
+    a = align_jit(p_ex, x, y)
+    b = align_jit(p_ch, x, y)
+    assert bool(a.converged) and bool(b.converged)
+    np.testing.assert_allclose(np.asarray(b.tf), np.asarray(a.tf),
+                               atol=5e-4)
