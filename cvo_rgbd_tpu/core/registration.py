@@ -519,12 +519,12 @@ def align(
             p, backend="xla" if quirk or lin_acvo or unaligned else "pallas"
         )
     if getattr(p, "backend", "xla") == "pallas":
-        # Morton-order both clouds (core/cloud.spatial_sort): point
-        # order is semantically irrelevant, but compact tiles are what
-        # lets the AABB pruning actually skip — raster/sample order
-        # gives every tile a scene-wide bounding box.  Unconditional
-        # under the pallas backend so tile_skip on/off stays bitwise
-        # comparable.
+        # kd-sort both clouds (core/cloud.kd_sort, median-split cells):
+        # point order is semantically irrelevant, but compact tiles are
+        # what lets the AABB pruning actually skip — raster/sample
+        # order gives every tile a scene-wide bounding box.
+        # Unconditional under the pallas backend so tile_skip on/off
+        # stays bitwise comparable.
         from cvo_rgbd_tpu.core.cloud import kd_sort
 
         fixed = kd_sort(fixed)
