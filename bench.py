@@ -333,6 +333,14 @@ def bench_reference_scale():
                 "max_rotation_mrad": round(float(np.max(rerr)), 2),
             },
         }
+        if tag == "acvo":
+            # the opt-in Chebyshev self-sweep tables (params.self_mode)
+            # collapse the acvo-over-cvo per-iteration cost; measured
+            # alongside so the artifact carries both configurations
+            p_cheb = dataclasses.replace(p, self_mode="cheb")
+            block["ms_per_iteration_cheb"] = round(
+                _per_iteration_slope(p_cheb, fixed, moving) * 1e3, 4
+            )
         floor_us = _isolated_moment_sweep_us(
             p, fixed, moving, adaptive=(tag == "acvo")
         )
@@ -1331,6 +1339,8 @@ def compact_line(full):
             "r_mrad": pe["median_rotation_mrad"],
             "att_pct": b["roofline_attainment_pct"],
         }
+        if "ms_per_iteration_cheb" in b:
+            out["ms_it_cheb"] = b["ms_per_iteration_cheb"]
         return out
 
     c = {

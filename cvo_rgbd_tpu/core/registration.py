@@ -37,7 +37,7 @@ from cvo_rgbd_tpu.core import flow as flow_mod
 from cvo_rgbd_tpu.core import gram as gram_mod
 from cvo_rgbd_tpu.core.cloud import PointCloud, transform_cloud
 from cvo_rgbd_tpu.core.step import step_size
-from cvo_rgbd_tpu.params import AcvoParams, CvoParams
+from cvo_rgbd_tpu.params import AcvoParams
 
 
 class AlignState(NamedTuple):

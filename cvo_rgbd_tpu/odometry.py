@@ -396,7 +396,6 @@ def run_odometry_batched(
     would otherwise chain a silent identity relative pose (and the
     `motion_prior` seed must never come from such a lane).
     """
-    from cvo_rgbd_tpu.core.cloud import PointCloud
     from cvo_rgbd_tpu.parallel import align_batched
 
     params = params or (AcvoParams() if adaptive else CvoParams())

@@ -1,5 +1,5 @@
 """On-chip: acvo self_mode=cheb per-iteration cost + convergence."""
-import dataclasses, json, sys
+import json, sys
 import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax, functools

@@ -1,5 +1,5 @@
 """Bisect which Mosaic construct breaks the tiled mega-kernel."""
-import json, sys, functools
+import json, sys
 import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax

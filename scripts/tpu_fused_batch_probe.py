@@ -1,5 +1,5 @@
 """Batched (vmapped) tiled mega-kernel at reference scale on-chip."""
-import dataclasses, functools, json, sys, time
+import functools, json, sys, time
 import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax

@@ -1,6 +1,5 @@
 """A/B: 128 vs 256 tile size for the skip-enabled moment kernels."""
 import json, sys
-import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax
 

@@ -22,7 +22,6 @@ from cvo_rgbd_tpu.io.tum import load_assoc, read_trajectory
 from cvo_rgbd_tpu.odometry import load_image_pair, run_odometry
 from cvo_rgbd_tpu.params import CvoParams
 from cvo_rgbd_tpu.synth import (
-    BandScene,
     Degradation,
     make_tum_dataset,
     revisit_path,
