@@ -331,3 +331,32 @@ def test_exp_mode_fast_matches_precise_at_matlab_stops(rng):
     assert bool(r_p.converged) and bool(r_f.converged)
     d = np.asarray(r_p.tf, np.float64) - np.asarray(r_f.tf, np.float64)
     assert np.abs(d[:3, 3]).max() < 2e-3, d[:3, 3]
+
+
+def test_kd_sort_invariants(rng):
+    """kd_sort (the tile-compactness reorder behind the AABB pruning):
+    a permutation of the valid points with padding last, and tiles
+    measurably more compact than sample order."""
+    import numpy as np
+
+    from cvo_rgbd_tpu import pad_cloud
+    from cvo_rgbd_tpu.core.cloud import kd_sort
+    from cvo_rgbd_tpu.ops.pallas_gram import block_bounds
+
+    pts = rng.uniform(-2, 2, (1000, 3)).astype(np.float32)
+    feat = rng.random((1000, 5)).astype(np.float32)
+    c = pad_cloud(pts, feat, capacity=1024)
+    s = kd_sort(c)
+    # permutation: same point/feature multiset, same valid count
+    key = lambda p, f: sorted(map(tuple, np.concatenate([p, f], 1).tolist()))  # noqa: E731
+    assert key(np.asarray(c.positions), np.asarray(c.features)) == \
+        key(np.asarray(s.positions), np.asarray(s.features))
+    m = np.asarray(s.mask)
+    assert m.sum() == 1000 and (np.diff(m) <= 0).all()  # valid first
+    # compactness: mean per-tile AABB diagonal shrinks vs sample order
+    def mean_diag(cloud):
+        lo, hi = block_bounds(cloud.positions, cloud.mask, 128)
+        d = np.asarray(hi) - np.asarray(lo)
+        d = d[np.isfinite(d).all(1)]
+        return float(np.linalg.norm(d, axis=1).mean())
+    assert mean_diag(s) < 0.7 * mean_diag(c)
