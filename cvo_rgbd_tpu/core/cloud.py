@@ -122,53 +122,15 @@ def cloud_ok(cloud: PointCloud, min_valid: int = 64):
     return (n >= min_valid) & fin
 
 
-def _part1by2(x):
-    """Spread the low 10 bits of x two apart (Morton interleave)."""
-    x = (x | (x << 16)) & 0x030000FF
-    x = (x | (x << 8)) & 0x0300F00F
-    x = (x | (x << 4)) & 0x030C30C3
-    x = (x | (x << 2)) & 0x09249249
-    return x
-
-
-def spatial_sort(cloud: PointCloud) -> PointCloud:
-    """Reorder points along a Morton (z-order) curve; padding last.
+def kd_sort(cloud: PointCloud, cell: int = 128) -> PointCloud:
+    """Reorder points by recursive median splits (balanced kd-cells).
 
     Point order is semantically irrelevant — every align reduction is
     permutation-invariant (modulo fp reassociation) — but it decides
     how much the AABB tile pruning (ops/pallas_gram.block_bounds) can
-    skip: raster- or sample-ordered clouds give every 256-point tile a
-    scene-wide bounding box and nothing prunes, while Morton order
-    makes tiles spatially compact so tile pairs farther apart than the
-    gate radius (2-4 cm at converged ell) actually skip.  Quantizes to
-    10 bits/dim over the valid-point AABB; invalid slots sort to the
-    end (their tiles carry inf bounds and always skip).
-    """
-    pos, feat, mask = cloud.positions, cloud.features, cloud.mask
-    valid = mask > 0
-    big = jnp.float32(3.4e38)
-    lo = jnp.min(jnp.where(valid[:, None], pos, big), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], pos, -big), axis=0)
-    span = jnp.maximum(hi - lo, 1e-9)
-    q = jnp.clip(
-        ((pos - lo) / span * 1023.0), 0.0, 1023.0
-    ).astype(jnp.int32)
-    code = (
-        _part1by2(q[:, 0])
-        | (_part1by2(q[:, 1]) << 1)
-        | (_part1by2(q[:, 2]) << 2)
-    )
-    key = jnp.where(valid, code, jnp.int32(2**31 - 1))
-    order = jnp.argsort(key)
-    return PointCloud(
-        pos[order], feat[order], mask[order]
-    )
-
-
-def kd_sort(cloud: PointCloud, cell: int = 128) -> PointCloud:
-    """Reorder points by recursive median splits (balanced kd-cells).
-
-    Like `spatial_sort` but strictly better tile compactness: each
+    skip: raster- or sample-ordered clouds give every tile a
+    scene-wide bounding box and nothing prunes.  Better than a Morton
+    (z-order) curve for tile compactness: each
     split sorts a segment along its widest extent and divides it at a
     cell-aligned median, so every `cell`-point run is a compact spatial
     box (and adjacent runs are siblings, so larger tiles stay compact

@@ -400,7 +400,8 @@ def build_skip_pre(p, adaptive, fixed: PointCloud, moving: PointCloud):
 
 
 def build_selfsweep_cheb(p, adaptive, fixed: PointCloud,
-                         moving: PointCloud, ck_caches, skip_pre):
+                         moving: PointCloud, ck_caches, skip_pre,
+                         ell0=None):
     """Per-align Chebyshev tables for the adaptive self-kernel
     reductions (params.self_mode="cheb"): wsq_xx/nnz_xx/wsq_yy/nnz_yy
     are functions of ell ALONE (the self distances are rigid-invariant,
@@ -421,7 +422,21 @@ def build_selfsweep_cheb(p, adaptive, fixed: PointCloud,
     from cvo_rgbd_tpu.ops import fused_wsq
 
     K = int(getattr(p, "self_cheb_k", 12))
-    lo = float(_np.log(1.0 / (2.0 * p.ell_max_init ** 2)))
+    # table span [ell_min, ell_hi].  ell never exceeds ell_max_init
+    # during a run (ell_max only shrinks) and warm-start ell0 handles
+    # from a previous align are therefore in-range by construction —
+    # but a user-supplied CONCRETE ell0 above ell_max_init would
+    # otherwise clamp to the table edge and evaluate the self sweeps
+    # at the wrong length-scale (round-5 review finding).  Traced
+    # ell0 keeps the static default span.
+    ell_hi = p.ell_max_init
+    if ell0 is not None:
+        try:
+            ell_hi = max(ell_hi, float(ell0))
+        except (TypeError, jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            pass
+    lo = float(_np.log(1.0 / (2.0 * ell_hi ** 2)))
     hi = float(_np.log(1.0 / (2.0 * p.ell_min ** 2)))
     kk = _np.arange(K)
     xch = _np.cos(_np.pi * (kk + 0.5) / K)
@@ -554,7 +569,7 @@ def align(
     moments_pre = build_moments_pre(p, fixed)
     skip_pre = build_skip_pre(p, adaptive, fixed, moving)
     cheb_pre = build_selfsweep_cheb(p, adaptive, fixed, moving,
-                                    ck_caches, skip_pre)
+                                    ck_caches, skip_pre, ell0=ell0)
 
     def cond_fn(s: AlignState):
         return (s.k < p.max_iter) & ~s.converged

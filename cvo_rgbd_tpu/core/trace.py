@@ -54,6 +54,19 @@ def align_trace(p, fixed, moving, n_iters: int):
         p = dataclasses.replace(
             p, backend="xla" if quirk or lin_acvo else "pallas"
         )
+    if getattr(p, "backend", "xla") == "pallas":
+        # mirror align(): the pallas backend kd-sorts unconditionally
+        # (compact tiles for AABB pruning; CLAUDE.md bitwise rule).
+        # Without this the trace runs on a different point order than
+        # the align it documents — different fp32 reduction order, so
+        # the recorded omega/v/ell drift from what align computes and
+        # skip_pre prunes ~0%.
+        from cvo_rgbd_tpu.core.cloud import kd_sort
+
+        if fixed.positions.shape[0] % 128 == 0:
+            fixed = kd_sort(fixed)
+        if moving.positions.shape[0] % 128 == 0:
+            moving = kd_sort(moving)
     body = make_align_step(p, adaptive)
     ci = prepare_ci(p, fixed, moving)
 

@@ -47,12 +47,18 @@ def load_relative_pose_csv(path):
         raw = raw[None, :]
     if raw.shape[1] == 16:
         return raw.reshape(-1, 4, 4)
-    if raw.shape[1] in (12, 14):
-        if raw.shape[1] == 14:
-            raw = raw[:, 2:]  # drop the frame1/frame2 index columns
+    if raw.shape[1] == 14:
+        # cv_rgbd layout: frame1, frame2, tx, ty, tz, r11..r33
+        raw = raw[:, 2:]
         out = np.tile(np.eye(4), (raw.shape[0], 1, 1))
         out[:, :3, 3] = raw[:, :3]
         out[:, :3, :3] = raw[:, 3:12].reshape(-1, 3, 3)
+        return out
+    if raw.shape[1] == 12:
+        # flattened [R|t] rows: r11 r12 r13 tx r21 ... tz (the top
+        # 3x4 of H, row-major — NOT the 14-column t-first order)
+        out = np.tile(np.eye(4), (raw.shape[0], 1, 1))
+        out[:, :3, :4] = raw.reshape(-1, 3, 4)
         return out
     raise ValueError(f"unsupported csv shape {raw.shape}")
 

@@ -1219,9 +1219,17 @@ def _fused_mode(p, fixed, moving):
             return "resident"
     elif n % 8 == 0 and m % 128 == 0 and n * m <= (1 << 20):
         return "resident"
-    # tiled: momT scratch [128, m] + phi [n, 128] must stay far under
-    # VMEM; 16k points/side is ~8.5 MB of residents — ample headroom
-    if n % 128 == 0 and m % 128 == 0 and n <= 16384 and m <= 16384:
+    # tiled: VMEM residency allows ~16k/side, but the cap is set by
+    # what the kernel GENERATOR has been validated to: the tile loops
+    # are statically unrolled (nbi*nbj Pass-A bodies + two triangle
+    # sweeps) and the scalar prefetch row grows as 16+6*(nbi+nbj).
+    # N=M=3072 (24x24 bodies at 128-sublane tiles, SMEM row 160 — the
+    # largest shape exercised on-chip, docs/PERF.md) is the reference
+    # workload; 4096 keeps one octave of headroom while bounding the
+    # unroll at ~2x the measured compile.  Larger clouds fall back to
+    # the per-iteration pallas backend, which handles any 128-multiple
+    # without unroll growth.
+    if n % 128 == 0 and m % 128 == 0 and n <= 4096 and m <= 4096:
         return "tiled"
     return None
 

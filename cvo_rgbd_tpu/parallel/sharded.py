@@ -427,7 +427,11 @@ def train_step_2d(p, mesh, fixed_b: PointCloud, moving_b: PointCloud,
         )
     if _sharded_pallas_eligible(
         p, adaptive, fixed_b.capacity // nsp, moving_b.capacity
-    ) and getattr(p, "tile_skip", True):
+    ):
+        # unconditional on tile_skip, like every other pallas path
+        # (_maybe_kd_sort / registration.py): sorting only when the
+        # skip is on would reassociate the fp32 reductions and break
+        # the skip-on/off bitwise A-B comparisons (CLAUDE.md).
         from cvo_rgbd_tpu.core.cloud import kd_sort
 
         fixed_b = jax.vmap(kd_sort)(fixed_b)
@@ -627,9 +631,15 @@ def align_ring(p, mesh, fixed: PointCloud, moving: PointCloud,
                         yp_home, yf_blk, ym_blk, ypb, yfb, ymb,
                         state.ell, None, md_yy_b, p=p,
                     )
+                    # carry order (sxx, syy, nxx, nyy, nxy) matches the
+                    # psum unpack below and the XLA ring body's tuple —
+                    # a (sxx, nxx, syy, ...) swap here silently feeds dl
+                    # a pair COUNT as its yy distance sum and slams ell
+                    # to the floor on iteration 1 (caught by on-chip
+                    # ell-trajectory comparison, round 5).
                     carry = (
-                        carry[0] + sxx_c, carry[1] + nxx_c,
-                        carry[2] + syy_c, carry[3] + nyy_c,
+                        carry[0] + sxx_c, carry[1] + syy_c,
+                        carry[2] + nxx_c, carry[3] + nyy_c,
                         carry[4] + nnz,
                     )
                     return carry, (xpb, xfb, xmb, ypb0, yfb, ymb, mom)

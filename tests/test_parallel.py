@@ -217,6 +217,14 @@ def test_align_ring_pallas_matches_single(rng, base):
     np.testing.assert_allclose(np.asarray(got.tf), np.asarray(ref.tf),
                                atol=3e-4)
     assert bool(got.converged) and bool(ref.converged)
+    # the adaptive ell TRAJECTORY must match too, not just the pose:
+    # a mis-ordered psum unpack in the ring body once fed dl a pair
+    # count as its yy distance sum, slamming ell to the floor while the
+    # pose still landed inside the 3e-4 tolerance on this easy pair
+    # (round-5 review finding).  5% covers the stop-skew iteration
+    # difference; the bug class is a >2x ell error.
+    np.testing.assert_allclose(np.asarray(got.ell), np.asarray(ref.ell),
+                               rtol=0.05)
 
 
 def test_align_ring_pallas_linear_mode(rng):
